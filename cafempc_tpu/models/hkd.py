@@ -1,0 +1,179 @@
+"""Hybrid-kinodynamic (HKD) quadruped model, re-derived in closed form as
+pure batched JAX functions.
+
+State (24):   [eul(3: yaw,pitch,roll), pos(3), omega_body(3), vWorld(3),
+               qdummy(12)]
+Control (24): [GRF_world(12), commanded joint velocities(12)]
+
+Per-leg ``qdummy`` semantics: joint angles (abad, hip, knee) while the leg
+swings; world-frame foot position while it stances (x,y frozen; z treated as
+a coordinate that stays put).  Leg order is the Cheetah-Software convention
+FR, FL, HR, HL.
+
+Mirrors (behavior, not code) the reference's CasADi-generated kernels:
+  * discrete dynamics  `hkinodyn`           (HKDMPC/HKD-TrajOpt/HKDModel.h:33-45)
+  * dynamics partials  `hkinodyn_par`       (HKDModel.h:46-61) -- here via jacfwd
+  * foot FK            `compute_foot_position` (HKDReset.h:62-68)
+  * foot Jacobians     `comp_foot_jacob_1..4`  (HKDReset.h:99-126)
+  * reset map          HKDReset::resetmap   (HKDReset.h:41-75)
+Model constants (mass / inertia / geometry) were extracted numerically from
+the generated kernels; verified to <1e-12 against tests/fixtures/hkd_*.npz.
+"""
+import jax
+import jax.numpy as jnp
+
+from cafempc_tpu.utils.rotations import (
+    eul_to_rot, euldrate_to_omega_mat, omega_to_euldrate_mat, skew)
+
+XS = 24
+US = 24
+YS = 0
+
+MASS = 8.912
+INERTIA_DIAG = jnp.array([0.02746078, 0.2425157968, 0.2651935768])
+GRAVITY = 9.81
+
+# Leg geometry (Cheetah-Software convention; FR, FL, HR, HL)
+HIP_X = jnp.array([0.19, 0.19, -0.19, -0.19])
+HIP_Y = jnp.array([-0.049, 0.049, -0.049, 0.049])
+SIDE_SIGN = jnp.array([-1.0, 1.0, -1.0, 1.0])
+L1 = 0.062   # abad link
+L2 = 0.209   # thigh
+L3 = 0.195   # shank
+QLEG_DEFAULT = jnp.array([0.0, -0.8, 1.7])  # HKDReset.h:37
+
+
+def leg_fk_local(qleg, leg):
+    """Foot position in the body frame for one leg.
+
+    qleg: (3,) [abad, hip, knee] angles; leg: static int 0..3.
+    """
+    s1, c1 = jnp.sin(qleg[0]), jnp.cos(qleg[0])
+    s2, c2 = jnp.sin(qleg[1]), jnp.cos(qleg[1])
+    s3, c3 = jnp.sin(qleg[2]), jnp.cos(qleg[2])
+    s23 = s2 * c3 + c2 * s3
+    c23 = c2 * c3 - s2 * s3
+    sig = SIDE_SIGN[leg]
+    ext = L3 * c23 + L2 * c2           # leg extension along -z of abad frame
+    px = HIP_X[leg] + L3 * s23 + L2 * s2
+    py = HIP_Y[leg] + sig * L1 * c1 + s1 * ext
+    pz = sig * L1 * s1 - c1 * ext
+    return jnp.stack([px, py, pz])
+
+
+def foot_position(pos, eul, qleg, leg):
+    """World-frame foot position (reference `compute_foot_position`)."""
+    R = eul_to_rot(eul)
+    return pos + R @ leg_fk_local(qleg, leg)
+
+
+def foot_jacobian(pos, eul, qleg, leg):
+    """d foot_position / d (pos(3), eul(3), qleg... full qdummy(12)).
+
+    Returns (3, 18) with column layout [d/dpos(3), d/deul(3), d/dqdummy(12)]
+    matching the reference `comp_foot_jacob_*` output (HKDReset.h:131-133
+    consumes cols 0:3 wrt pos, 3:6 wrt eul, 6:18 wrt qdummy).
+    """
+    def fk(pos_, eul_, qd_):
+        return foot_position(pos_, eul_, qd_[3 * leg:3 * leg + 3], leg)
+
+    qd = jnp.zeros(12).at[3 * leg:3 * leg + 3].set(qleg)
+    Jp, Je, Jq = jax.jacfwd(fk, argnums=(0, 1, 2))(pos, eul, qd)
+    return jnp.concatenate([Jp, Je, Jq], axis=-1)
+
+
+def _body_accels(eul, pos, omega, grf, contact, p_feet):
+    """Shared SRB-style body dynamics: returns (omega_dot, v_dot).
+
+    grf: (12,) world-frame forces; p_feet: (4,3) world foot positions;
+    contact: (4,) float mask.
+    """
+    R = eul_to_rot(eul)
+    f = grf.reshape(4, 3) * contact[:, None]
+    f_tot = f.sum(axis=0)
+    # The reference kernel computes the torque arm with the foot height
+    # zeroed (feet on the ground plane), verified against fixtures.
+    p_arm = p_feet * jnp.array([1.0, 1.0, 0.0])
+    tau_w = jnp.cross(p_arm - pos[None, :], f).sum(axis=0)
+    tau_b = R.T @ tau_w
+    Iw = INERTIA_DIAG * omega
+    omega_dot = (tau_b - jnp.cross(omega, Iw)) / INERTIA_DIAG
+    v_dot = f_tot / MASS + jnp.array([0.0, 0.0, -GRAVITY])
+    return omega_dot, v_dot
+
+
+def dynamics_continuous(x, u, contact):
+    """Continuous-time HKD dynamics xdot = f(x, u; contact).
+
+    contact: (4,) float (0/1) stance mask, a static per-phase quantity in the
+    reference but here an ordinary traced input so phases batch.
+    """
+    eul, pos = x[0:3], x[3:6]
+    omega, vel = x[6:9], x[9:12]
+    qdummy = x[12:24]
+    grf, qJd_cmd = u[0:12], u[12:24]
+
+    # Foot positions: stance legs read qdummy directly as the foot position.
+    p_feet = qdummy.reshape(4, 3)
+
+    omega_dot, v_dot = _body_accels(eul, pos, omega, grf, contact, p_feet)
+    euld = omega_to_euldrate_mat(eul) @ omega
+
+    # qdummy rate: commanded joint velocity when swinging, frozen in stance.
+    qdummy_dot = qJd_cmd * (1.0 - jnp.repeat(contact, 3))
+
+    return jnp.concatenate([euld, vel, omega_dot, v_dot, qdummy_dot])
+
+
+def dynamics(x, u, dt, contact):
+    """Discrete forward-Euler step (reference `hkinodyn`)."""
+    return x + dt * dynamics_continuous(x, u, contact)
+
+
+def dynamics_partials(x, u, dt, contact):
+    """A = dxnext/dx, B = dxnext/du (reference `hkinodyn_par`)."""
+    A = jax.jacfwd(dynamics, argnums=0)(x, u, dt, contact)
+    B = jax.jacfwd(dynamics, argnums=1)(x, u, dt, contact)
+    return A, B
+
+
+def compute_hkd_state(eul, pos, qJ, contact):
+    """Build qdummy from joint angles + FK (reference compute_hkd_state,
+    HKDModel.h:66-96): joint angles for swing legs, foot positions for
+    stance legs."""
+    qd_parts = []
+    for leg in range(4):
+        qleg = qJ[3 * leg:3 * leg + 3]
+        pf = foot_position(pos, eul, qleg, leg)
+        qd_parts.append(jnp.where(contact[leg] > 0, pf, qleg))
+    return jnp.concatenate(qd_parts)
+
+
+def reset_map(x, contact_cur, contact_next):
+    """Hybrid reset of qdummy at a contact-mode switch (HKDReset.h:41-75).
+
+    stance->swing: qdummy_leg := default joint angle.
+    swing->stance: qdummy_leg := [pf_x, pf_y, 0] via FK from joint angles.
+    """
+    eul, pos = x[0:3], x[3:6]
+    qdummy = x[12:24]
+    out = []
+    for leg in range(4):
+        qleg = qdummy[3 * leg:3 * leg + 3]
+        td = (1.0 - contact_cur[leg]) * contact_next[leg]       # touchdown
+        lo = contact_cur[leg] * (1.0 - contact_next[leg])       # liftoff
+        pf = foot_position(pos, eul, qleg, leg) * jnp.array([1.0, 1.0, 0.0])
+        q_new = (td * pf + lo * QLEG_DEFAULT
+                 + (1.0 - td - lo) * qleg)
+        out.append(q_new)
+    return jnp.concatenate([x[0:12]] + out)
+
+
+def reset_map_partial(x, contact_cur, contact_next):
+    """Px = d reset / dx (HKDReset.h:78-136).
+
+    Matches the reference exactly, including its structure: identity for
+    unchanged legs, zero rows for stance->swing legs, and the (z-masked)
+    foot Jacobian for swing->stance legs.
+    """
+    return jax.jacfwd(reset_map, argnums=0)(x, contact_cur, contact_next)
