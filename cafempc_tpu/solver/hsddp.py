@@ -1,0 +1,559 @@
+"""Hybrid-Systems DDP solver, TPU-native.
+
+Functional re-design of the reference solver stack (MultiPhaseDDP +
+SinglePhase + Trajectory, HSDDPSolver/source/*.cpp) over flat knot plans:
+
+  * LQ approximation: `vmap(jacfwd)` over all knots at once — the
+    reference's OpenMP-parallel linearization loop (SinglePhase.cpp:265-320)
+    becomes one batched device computation.
+  * Hybrid rollout: with multiple shooting and every knot a shooting state
+    (the reference's standard configuration, SinglePhase.h:163-172), the
+    forward sweep has NO sequential dependence — X = Xbar + eps*dX and each
+    one-step simulation is independent, so the rollout is a pure `vmap`
+    (reference: sequential loop, SinglePhase.cpp:182-233).  A `lax.scan`
+    path covers single shooting / partial shooting sets.
+  * Backward Riccati sweep with impact-aware value propagation
+    (G <- Px^T G, H <- Px^T H Px at phase boundaries,
+    MultiPhaseDDP.cpp:499-503) as a reverse `lax.scan` with a unified
+    step rule (dynamics step | reset/padding transform).
+  * Merit line search and AL/ReB outer loops as `lax.while_loop`s
+    (MultiPhaseDDP.cpp:95-133, 216-447).
+
+The entire solve is one jit-compiled function of device arrays; batching
+over scenarios is an outer `vmap`, sharding over TPU meshes an outer
+`shard_map`.  The reference's wall-clock checkpoints are replaced by the
+iteration caps (see SolverOptions).
+"""
+import functools
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cafempc_tpu.solver import penalty
+from cafempc_tpu.solver.options import SolverOptions
+from cafempc_tpu.solver.plan import KnotPlan, PenaltyParams
+
+
+class ProblemFns(NamedTuple):
+    """Model/problem-specific pure functions consumed by the solver.
+
+    Per-step callables receive (x, u[, y], step_data_slice); per-knot
+    callables receive (x, knot_data_slice).  All are vmapped by the solver.
+    The functional analogue of the reference's dynamics callbacks +
+    CostContainer + ConstraintContainer (SinglePhase.h:58-100).
+    """
+    dyn: Callable                 # (x, u, sd) -> (xnext, y)
+    dyn_partials: Callable        # (x, u, sd) -> (A, B, C, D)
+    reset: Callable               # (x, sd) -> xnext
+    reset_partial: Callable       # (x, sd) -> Px
+    run_cost: Callable            # (x, u, y, sd) -> l  (dt-scaled)
+    run_cost_partials: Callable   # -> (lx, lu, ly, lxx, luu, lux, lyy)
+    term_cost: Callable           # (x, kd) -> phi
+    term_cost_partials: Callable  # (x, kd) -> (phix, phixx)
+    path_con: Callable            # (x, u, y, sd) -> g  [n_pcon]
+    path_con_partials: Callable   # (x, u, y, sd) -> (gx, gu, gy)
+    term_con: Callable            # (x, kd) -> h  [n_tcon]
+    term_con_partials: Callable   # (x, kd) -> hx [n_tcon, xs]
+
+
+class TrajState(NamedTuple):
+    """Working trajectory data (reference TrajectoryManagement.h:22-85)."""
+    Xbar: Any; Ubar: Any; Defect_bar: Any
+    X: Any; U: Any; Y: Any; Xsim: Any; Defect: Any
+    dX: Any; dU: Any; K: Any
+    A: Any; B: Any; C: Any; D: Any
+    lx: Any; lu: Any; ly: Any; lxx: Any; luu: Any; lux: Any; lyy: Any
+    phix: Any; phixx: Any
+    G: Any; H: Any
+    Qu: Any; Quu: Any; Qux: Any
+
+
+class SolverInfo(NamedTuple):
+    """Iteration telemetry (reference solver-info buffers,
+    MultiPhaseDDP.h:133-136)."""
+    cost_buf: Any
+    dyn_feas_buf: Any
+    eqn_feas_buf: Any
+    ineq_feas_buf: Any
+    n_entries: Any
+    iters: Any
+    ls_iters: Any
+    reg_iters: Any
+
+
+class SolverState(NamedTuple):
+    traj: TrajState
+    pen: PenaltyParams
+    x0: Any
+    cost: Any; merit: Any; merit_rho: Any; feas: Any
+    dV1: Any; dV2: Any
+    reg: Any
+    max_pconstr: Any; max_tconstr: Any
+    max_pconstr_prev: Any; max_tconstr_prev: Any
+    success: Any          # False only on unrecoverable backward-sweep failure
+    done: Any             # outer-loop termination flag
+    info: SolverInfo
+
+
+def _bmm(a, b):
+    return jnp.einsum("...ij,...jk->...jk" if False else "...ij,...jk->...ik",
+                      a, b)
+
+
+def init_traj(plan: KnotPlan, xs, us, ys, Xbar0, Ubar0, dtype):
+    N = plan.n_steps
+    z = functools.partial(jnp.zeros, dtype=dtype)
+    return TrajState(
+        Xbar=jnp.asarray(Xbar0, dtype), Ubar=jnp.asarray(Ubar0, dtype),
+        Defect_bar=z((N + 1, xs)),
+        X=jnp.asarray(Xbar0, dtype), U=jnp.asarray(Ubar0, dtype),
+        Y=z((N, ys)), Xsim=jnp.asarray(Xbar0, dtype), Defect=z((N + 1, xs)),
+        dX=z((N + 1, xs)), dU=z((N, us)), K=z((N, us, xs)),
+        A=z((N, xs, xs)), B=z((N, xs, us)), C=z((N, ys, xs)),
+        D=z((N, ys, us)),
+        lx=z((N, xs)), lu=z((N, us)), ly=z((N, ys)),
+        lxx=z((N, xs, xs)), luu=z((N, us, us)), lux=z((N, us, xs)),
+        lyy=z((N, ys, ys)),
+        phix=z((N + 1, xs)), phixx=z((N + 1, xs, xs)),
+        G=z((N + 1, xs)), H=z((N + 1, xs, xs)),
+        Qu=z((N, us)), Quu=z((N, us, us)), Qux=z((N, us, xs)),
+    )
+
+
+def make_solver(fns: ProblemFns, opts: SolverOptions, *, all_shooting=True,
+                info_len=64):
+    """Build the jit-ready ``solve(plan, pen, x0, Xbar0, Ubar0)`` function.
+
+    all_shooting: static flag — every active knot is a shooting state (the
+    reference's update_SS_config(horizon+1) configuration), enabling the
+    vmap-parallel rollout.
+    """
+
+    # ---------------- rollout ----------------------------------------
+    def _step_sim(x, u, sd):
+        xn_dyn, y = fns.dyn(x, u, sd)
+        xn_res = fns.reset(x, sd)
+        xn = jnp.where(sd.is_reset > 0, xn_res, xn_dyn)
+        return xn, y
+
+    def rollout(plan, tr: TrajState, x0, eps):
+        """Hybrid rollout (SinglePhase.cpp:182-233 + MultiPhaseDDP.cpp:49-92
+        flattened).  Returns updated (X, U, Y, Xsim, Defect, ok)."""
+        sd = plan.step
+        kd = plan.knot
+        ka = kd.active[:, None]
+        if all_shooting and opts.MS:
+            X = tr.Xbar + eps * tr.dX
+            dx = X[:-1] - tr.Xbar[:-1]
+            U = tr.Ubar + eps * tr.dU + jnp.einsum("kij,kj->ki", tr.K, dx)
+            Xsim_next, Y = jax.vmap(_step_sim)(X[:-1], U, sd)
+            Xsim_next = jnp.where(sd.active[:, None] > 0, Xsim_next, X[1:])
+            Xsim = jnp.concatenate([x0[None, :], Xsim_next], axis=0)
+        else:
+            # Sequential single-shooting rollout (option.MS == false path,
+            # SinglePhase.cpp:182-233 with an empty shooting-state set).
+            def ss_body(carry, inp):
+                x = carry
+                sd_k, xbar_k, ubar_k, dU_k, K_k = inp
+                u = ubar_k + eps * dU_k + K_k @ (x - xbar_k)
+                xn, y = _step_sim(x, u, sd_k)
+                xn = jnp.where(sd_k.active > 0, xn, x)
+                return xn, (x, u, y, xn)
+            inp = (sd, tr.Xbar[:-1], tr.Ubar, tr.dU, tr.K)
+            _, (Xs, U, Y, Xn) = jax.lax.scan(ss_body, x0, inp)
+            X = jnp.concatenate([Xs, Xn[-1:]], axis=0)
+            Xsim = X
+        Defect = (Xsim - X) * ka
+        ok = jnp.all(jnp.isfinite(Xsim)) & (
+            jnp.max(jnp.sum((Xsim * ka) ** 2, axis=-1)) < 1e12)
+        return tr._replace(X=X, U=U, Y=Y, Xsim=Xsim, Defect=Defect), ok
+
+    # ---------------- cost -------------------------------------------
+    def eval_constraints(plan, tr):
+        g = jax.vmap(fns.path_con)(tr.X[:-1], tr.U, tr.Y, plan.step)
+        h = jax.vmap(fns.term_con)(tr.X, plan.knot)
+        return g, h
+
+    def compute_cost(plan, pen: PenaltyParams, tr: TrajState):
+        """Total actual cost incl. ReB/AL folding (SinglePhase.cpp:236-262)
+        + max constraint violations (tracked during rollout in the
+        reference)."""
+        sd, kd = plan.step, plan.knot
+        run_mask = sd.active * (1.0 - sd.is_reset)
+        l = jax.vmap(fns.run_cost)(tr.X[:-1], tr.U, tr.Y, sd)
+        g, h = eval_constraints(plan, tr)
+        if opts.ReB_active:
+            reb = jax.vmap(penalty.reb_cost)(g, pen.reb_delta, pen.reb_eps,
+                                             pen.reb_active)
+            l = l + sd.dt * reb
+        run = jnp.sum(l * run_mask)
+        term_mask = kd.active * kd.is_terminal
+        phi = jax.vmap(fns.term_cost)(tr.X, kd)
+        if opts.AL_active:
+            al = jax.vmap(penalty.al_cost)(h, pen.al_lambda, pen.al_sigma,
+                                           pen.al_active)
+            phi = phi + al
+        total = run + jnp.sum(phi * term_mask)
+        # violations: path g>=0 feasible (max_pconstr <= 0);
+        # terminal |h| (max_tconstr >= 0)
+        g_act = (pen.reb_active > 0) & (run_mask[:, None] > 0)
+        max_p = jnp.min(jnp.where(g_act, g, 0.0))
+        max_p = jnp.minimum(max_p, 0.0)
+        h_act = (pen.al_active > 0) & (term_mask[:, None] > 0)
+        max_t = jnp.max(jnp.where(h_act, jnp.abs(h), 0.0))
+        return total, max_p, max_t
+
+    def dyn_feas(plan, Defect):
+        return jnp.sqrt(jnp.sum(Defect ** 2))
+
+    # ---------------- LQ approximation -------------------------------
+    def lq_approx(plan, pen, tr: TrajState):
+        """(SinglePhase.cpp:265-320), batched."""
+        sd, kd = plan.step, plan.knot
+        A_d, B_d, C, D = jax.vmap(fns.dyn_partials)(tr.X[:-1], tr.U, sd)
+        P = jax.vmap(fns.reset_partial)(tr.X[:-1], sd)
+        is_r = sd.is_reset[:, None, None]
+        act = sd.active[:, None, None]
+        A = jnp.where(is_r > 0, P, A_d) * act
+        B = jnp.where(is_r > 0, jnp.zeros_like(B_d), B_d) * act
+        C = C * (1.0 - sd.is_reset)[:, None, None] * act
+        D = D * (1.0 - sd.is_reset)[:, None, None] * act
+
+        lx, lu, ly, lxx, luu, lux, lyy = jax.vmap(fns.run_cost_partials)(
+            tr.X[:-1], tr.U, tr.Y, sd)
+        if opts.ReB_active:
+            g = jax.vmap(fns.path_con)(tr.X[:-1], tr.U, tr.Y, sd)
+            gx, gu, gy = jax.vmap(fns.path_con_partials)(
+                tr.X[:-1], tr.U, tr.Y, sd)
+            rb = jax.vmap(penalty.reb_partials)(
+                g, gx, gu, gy, pen.reb_delta, pen.reb_eps, pen.reb_active)
+            dt = sd.dt
+            lx = lx + dt[:, None] * rb[0]
+            lu = lu + dt[:, None] * rb[1]
+            ly = ly + dt[:, None] * rb[2]
+            lxx = lxx + dt[:, None, None] * rb[3]
+            luu = luu + dt[:, None, None] * rb[4]
+            lyy = lyy + dt[:, None, None] * rb[5]
+
+        phix, phixx = jax.vmap(fns.term_cost_partials)(tr.X, kd)
+        if opts.AL_active:
+            h = jax.vmap(fns.term_con)(tr.X, kd)
+            hx = jax.vmap(fns.term_con_partials)(tr.X, kd)
+            ag, ah = jax.vmap(penalty.al_partials)(
+                h, hx, pen.al_lambda, pen.al_sigma, pen.al_active)
+            phix = phix + ag
+            phixx = phixx + ah
+        tmask = (kd.active * kd.is_terminal)[:, None]
+        phix = phix * tmask
+        phixx = phixx * tmask[..., None]
+        rmask = (sd.active * (1.0 - sd.is_reset))[:, None]
+        return tr._replace(
+            A=A, B=B, C=C, D=D,
+            lx=lx * rmask, lu=lu * rmask, ly=ly * rmask,
+            lxx=lxx * rmask[..., None], luu=luu * rmask[..., None],
+            lux=lux * rmask[..., None], lyy=lyy * rmask[..., None],
+            phix=phix, phixx=phixx)
+
+    # ---------------- backward sweep ----------------------------------
+    def backward_sweep(plan, tr: TrajState, reg):
+        """Reverse scan (SinglePhase.cpp:323-391 + MultiPhaseDDP.cpp:174-213
+        unified: dynamics step | reset/padding transform)."""
+        sd = plan.step
+        us = tr.Ubar.shape[-1]
+        xs = tr.Xbar.shape[-1]
+        I_u = jnp.eye(us, dtype=tr.Xbar.dtype)
+        I_x = jnp.eye(xs, dtype=tr.Xbar.dtype)
+
+        def step(carry, inp):
+            G1, H1, dV1, dV2, ok = carry
+            (A, B, C, D, lx, lu, ly, lxx, luu, lux, lyy, phx, phxx,
+             defect1, is_reset, active) = inp
+            Gn = G1 + H1 @ defect1
+            # --- dynamics-step branch
+            Qx = lx + A.T @ Gn + C.T @ ly
+            Qu = lu + B.T @ Gn + D.T @ ly
+            Qxx = lxx + A.T @ H1 @ A + C.T @ lyy @ C
+            Quu = luu + B.T @ H1 @ B + D.T @ lyy @ D
+            Qux = lux + B.T @ H1 @ A + D.T @ lyy @ C
+            Qxx = Qxx + I_x * reg
+            Quu = Quu + I_u * reg
+            L = jnp.linalg.cholesky(Quu - 1e-9 * I_u)
+            ok_k = jnp.all(jnp.isfinite(L))
+            L_safe = jnp.where(ok_k, L, I_u)
+            Quu_inv = jax.scipy.linalg.cho_solve((L_safe, True), I_u)
+            Qxx = 0.5 * (Qxx + Qxx.T)
+            dU = -Quu_inv @ Qu
+            K = -Quu_inv @ Qux
+            G_dyn = Qx - Qux.T @ (Quu_inv @ Qu)
+            H_dyn = Qxx - Qux.T @ (Quu_inv @ Qux)
+            dV_k = -Qu @ dU
+            # --- reset/padding transform branch
+            G_tr = phx + A.T @ Gn
+            H_tr = phxx + A.T @ H1 @ A
+            w = (is_reset > 0) | (active == 0)
+            G0 = jnp.where(w, G_tr, G_dyn)
+            H0 = jnp.where(w, H_tr, H_dyn)
+            K = jnp.where(w, jnp.zeros_like(K), K)
+            dU = jnp.where(w, jnp.zeros_like(dU), dU)
+            Qu = jnp.where(w, jnp.zeros_like(Qu), Qu)
+            Quu = jnp.where(w, I_u, Quu)
+            Qux = jnp.where(w, jnp.zeros_like(Qux), Qux)
+            dV1 = dV1 - jnp.where(w, 0.0, dV_k)
+            dV2 = dV2 + jnp.where(w, 0.0, dV_k)
+            ok = ok & (ok_k | w)
+            return (G0, H0, dV1, dV2, ok), (G0, H0, K, dU, Qu, Quu, Qux)
+
+        inp = (tr.A, tr.B, tr.C, tr.D, tr.lx, tr.lu, tr.ly, tr.lxx, tr.luu,
+               tr.lux, tr.lyy, tr.phix[:-1], tr.phixx[:-1], tr.Defect[1:],
+               sd.is_reset, sd.active)
+        G_N = tr.phix[-1]
+        H_N = tr.phixx[-1]
+        zero = jnp.zeros((), dtype=tr.Xbar.dtype)
+        (G0, H0, dV1, dV2, ok), outs = jax.lax.scan(
+            step, (G_N, H_N, zero, zero, jnp.bool_(True)), inp, reverse=True)
+        G_seq, H_seq, K, dU, Qu, Quu, Qux = outs
+        G = jnp.concatenate([G_seq, G_N[None]], axis=0)
+        H = jnp.concatenate([H_seq, H_N[None]], axis=0)
+        # value gradient defect correction at the initial knot
+        # (SinglePhase.cpp:389)
+        G = G.at[0].add(H[0] @ tr.Defect[0])
+        tr = tr._replace(G=G, H=H, K=K, dU=dU, Qu=Qu, Quu=Quu, Qux=Qux)
+        return tr, dV1, dV2, ok
+
+    def backward_sweep_regularized(plan, tr, reg0):
+        """(MultiPhaseDDP.cpp:136-165)."""
+        def cond(c):
+            tr_, reg, ok, dV1, dV2, it = c
+            return (~ok) & (reg <= opts.reg_max) & (it < 32)
+
+        def body(c):
+            tr_, reg, ok, _, _, it = c
+            tr2, dV1, dV2, ok2 = backward_sweep(plan, tr_, reg)
+            reg2 = jnp.where(ok2, reg,
+                             jnp.maximum(reg * opts.update_regularization,
+                                         opts.reg_min_init))
+            return (tr2, reg2, ok2, dV1, dV2, it + 1)
+
+        zero = jnp.zeros((), dtype=tr.Xbar.dtype)
+        c0 = (tr, reg0, jnp.bool_(False), zero, zero, jnp.int32(0))
+        tr, reg, ok, dV1, dV2, n_it = jax.lax.while_loop(cond, body, c0)
+        reg = reg / 20.0
+        reg = jnp.where(reg < 1e-6, 0.0, reg)
+        return tr, reg, ok, dV1, dV2, n_it
+
+    # ---------------- linear rollout ----------------------------------
+    def linear_rollout(plan, tr: TrajState, eps):
+        """Multiple-shooting search direction + expected cost change
+        (SinglePhase.cpp:145-178 + MultiPhaseDDP.cpp:12-42)."""
+        sd = plan.step
+
+        def step(carry, inp):
+            dx, dV1, dV2 = carry
+            (A, B, lx, lu, lxx, luu, lux, phx, phxx, dU, K, defect1,
+             is_reset, active) = inp
+            w = (is_reset > 0) | (active == 0)
+            du = eps * dU + K @ dx
+            dx_dyn = A @ dx + B @ du + eps * defect1
+            dx_tr = A @ dx + eps * defect1
+            dV1_dyn = lx @ dx + lu @ du
+            dV2_dyn = dx @ (lxx @ dx) + du @ (luu @ du) + du @ (lux @ dx)
+            dV1_tr = phx @ dx
+            dV2_tr = dx @ (phxx @ dx)
+            dx1 = jnp.where(w, dx_tr, dx_dyn)
+            dV1 = dV1 + jnp.where(w, dV1_tr, dV1_dyn)
+            dV2 = dV2 + jnp.where(w, dV2_tr, dV2_dyn)
+            return (dx1, dV1, dV2), dx1
+
+        dx0 = eps * tr.Defect[0]
+        zero = jnp.zeros((), dtype=tr.Xbar.dtype)
+        inp = (tr.A, tr.B, tr.lx, tr.lu, tr.lxx, tr.luu, tr.lux,
+               tr.phix[:-1], tr.phixx[:-1], tr.dU, tr.K, tr.Defect[1:],
+               sd.is_reset, sd.active)
+        (dxN, dV1, dV2), dX_seq = jax.lax.scan(step, (dx0, zero, zero), inp)
+        dX = jnp.concatenate([dx0[None], dX_seq], axis=0)
+        # terminal contribution at the final knot (masked phix handles
+        # padding; mirrors the per-phase terminal terms)
+        dV1 = dV1 + tr.phix[-1] @ dxN
+        dV2 = dV2 + dxN @ (tr.phixx[-1] @ dxN)
+        return tr._replace(dX=dX), dV1, dV2
+
+    # ---------------- line search -------------------------------------
+    def line_search(plan, pen, tr, x0, cost0, merit0, feas0, rho, dV1, dV2):
+        """(MultiPhaseDDP.cpp:95-133)."""
+        def cond(c):
+            tr_, eps, it, success, cost, feas, merit = c
+            return (~success) & (eps > opts.ls_eps_min)
+
+        def body(c):
+            tr_, eps, it, success, cost, feas, merit = c
+            tr2, ok = rollout(plan, tr_, x0, eps)
+            cost2, _, _ = compute_cost(plan, pen, tr2)
+            feas2 = dyn_feas(plan, tr2.Defect)
+            merit2 = cost2 + rho * feas2
+            exp_cost = eps * dV1 + 0.5 * eps * eps * dV2
+            exp_merit = exp_cost - eps * rho * feas0
+            succ = (merit2 <= merit0 + opts.gamma * exp_merit) & ok
+            eps2 = jnp.where(succ, eps, eps * opts.alpha)
+            return (tr2, eps2, it + 1, succ, cost2, feas2, merit2)
+
+        c0 = (tr, jnp.asarray(1.0, tr.Xbar.dtype), jnp.int32(0),
+              jnp.bool_(False), cost0, feas0, merit0)
+        tr, eps, n_it, success, cost, feas, merit = jax.lax.while_loop(
+            cond, body, c0)
+        return tr, success, cost, feas, merit, n_it
+
+    # ---------------- solve -------------------------------------------
+    def update_nominal(tr: TrajState):
+        return tr._replace(Xbar=tr.X, Ubar=tr.U, Defect_bar=tr.Defect)
+
+    def push_info(info: SolverInfo, cost, feas, maxt, maxp):
+        i = jnp.minimum(info.n_entries, info_len - 1)
+        return info._replace(
+            cost_buf=info.cost_buf.at[i].set(cost),
+            dyn_feas_buf=info.dyn_feas_buf.at[i].set(feas),
+            eqn_feas_buf=info.eqn_feas_buf.at[i].set(maxt),
+            ineq_feas_buf=info.ineq_feas_buf.at[i].set(maxp),
+            n_entries=info.n_entries + 1)
+
+    def ddp_inner(plan, s: SolverState):
+        """One inner DDP iteration (MultiPhaseDDP.cpp:277-387)."""
+        tr = s.traj
+        cost, maxp, maxt = compute_cost(plan, s.pen, tr)
+        feas = dyn_feas(plan, tr.Defect)
+        tr = lq_approx(plan, s.pen, tr)
+        tr, reg, ok, dV1, dV2, reg_it = backward_sweep_regularized(
+            plan, tr, jnp.zeros((), tr.Xbar.dtype) + s.reg)
+        if opts.MS:
+            tr, dV1, dV2 = linear_rollout(plan, tr, 1.0)
+        dV_abs = jnp.abs(dV1 + 0.5 * dV2)
+        rho = jnp.where(
+            feas > opts.dynamics_feas_thresh,
+            dV_abs / ((1.0 - opts.merit_scale) * feas) + opts.merit_offset,
+            0.0)
+        merit = cost + rho * feas
+        early = (dV_abs < opts.cost_thresh) & \
+                (feas <= opts.dynamics_feas_thresh)
+
+        def do_ls(args):
+            tr_, info = args
+            tr2, ls_ok, cost2, feas2, merit2, ls_it = line_search(
+                plan, s.pen, tr_, s.x0, cost, merit, feas, rho, dV1, dV2)
+            tr2 = jax.lax.cond(ls_ok, update_nominal, lambda t: t, tr2)
+            cost3 = jnp.where(ls_ok, cost2, cost)
+            merit3 = jnp.where(ls_ok, merit2, merit)
+            feas3 = jnp.where(ls_ok, feas2, feas)
+            # late termination (MultiPhaseDDP.cpp:369-370)
+            late = (jnp.abs((cost - cost3) / jnp.where(cost == 0, 1.0, cost))
+                    < opts.cost_thresh) & (feas3 <= opts.dynamics_feas_thresh)
+            info = info._replace(ls_iters=info.ls_iters + ls_it)
+            return tr2, cost3, merit3, feas3, late, info
+
+        def skip_ls(args):
+            tr_, info = args
+            return tr_, cost, merit, feas, jnp.bool_(True), info
+
+        info = s.info._replace(reg_iters=s.info.reg_iters + reg_it,
+                               iters=s.info.iters + 1)
+        tr, cost_f, merit_f, feas_f, inner_done, info = jax.lax.cond(
+            early, skip_ls, do_ls, (tr, info))
+        info = push_info(info, cost_f, feas_f, maxt, maxp)
+        return s._replace(
+            traj=tr, cost=cost_f, merit=merit_f, merit_rho=rho, feas=feas_f,
+            dV1=dV1, dV2=dV2, reg=reg, max_pconstr=maxp, max_tconstr=maxt,
+            success=s.success & ok, info=info), inner_done | (~ok)
+
+    def outer_body(plan, s: SolverState):
+        """One AL outer iteration (MultiPhaseDDP.cpp:264-427)."""
+        s = s._replace(max_pconstr_prev=s.max_pconstr,
+                       max_tconstr_prev=s.max_tconstr,
+                       reg=jnp.zeros((), s.cost.dtype))
+
+        def inner_cond(c):
+            s_, it, done = c
+            return (it < opts.max_DDP_iter) & (~done)
+
+        def inner_b(c):
+            s_, it, done = c
+            s2, done2 = ddp_inner(plan, s_)
+            return (s2, it + 1, done2)
+
+        s, _, _ = jax.lax.while_loop(inner_cond, inner_b,
+                                     (s, jnp.int32(0), jnp.bool_(False)))
+
+        # convergence checks (MultiPhaseDDP.cpp:394-405)
+        feas_ok = s.feas <= opts.dynamics_feas_thresh
+        conv = (s.max_tconstr < opts.tconstr_thresh) & \
+               (jnp.abs(s.max_pconstr) < opts.pconstr_thresh) & feas_ok
+        stall = (jnp.abs(s.max_tconstr - s.max_tconstr_prev) < 1e-4) & \
+                (jnp.abs(s.max_pconstr - s.max_pconstr_prev) < 1e-4) & feas_ok
+        done = conv | stall | (~s.success)
+
+        # AL / ReB parameter updates on current constraint values
+        g, h = eval_constraints(plan, s.traj)
+        pen = s.pen
+        if opts.AL_active:
+            lam, sig = jax.vmap(
+                penalty.al_update_params, in_axes=(0, 0, 0, 0, None, None,
+                                                  None))(
+                h, pen.al_lambda, pen.al_sigma, pen.al_active,
+                opts.tconstr_thresh, opts.update_penalty, pen.al_sigma_max)
+            pen = pen._replace(al_lambda=lam, al_sigma=sig)
+        if opts.ReB_active:
+            dl, ew = jax.vmap(
+                penalty.reb_update_params,
+                in_axes=(0, 0, 0, 0, None, None, None, None))(
+                g, pen.reb_delta, pen.reb_eps, pen.reb_active,
+                opts.pconstr_thresh, opts.update_relax, opts.update_ReB,
+                pen.reb_delta_min)
+            pen = pen._replace(reb_delta=dl, reb_eps=ew)
+        return s._replace(pen=pen, done=done)
+
+    def solve(plan: KnotPlan, pen0: PenaltyParams, x0, Xbar0, Ubar0):
+        dtype = Xbar0.dtype
+        xs = Xbar0.shape[-1]
+        us = Ubar0.shape[-1]
+        ys = plan.step.y_ref.shape[-1]
+        tr = init_traj(plan, xs, us, ys, Xbar0, Ubar0, dtype)
+        zero = jnp.zeros((), dtype)
+        info = SolverInfo(
+            cost_buf=jnp.zeros((info_len,), dtype),
+            dyn_feas_buf=jnp.zeros((info_len,), dtype),
+            eqn_feas_buf=jnp.zeros((info_len,), dtype),
+            ineq_feas_buf=jnp.zeros((info_len,), dtype),
+            n_entries=jnp.int32(0), iters=jnp.int32(0),
+            ls_iters=jnp.int32(0), reg_iters=jnp.int32(0))
+        s = SolverState(
+            traj=tr, pen=pen0, x0=jnp.asarray(x0, dtype),
+            cost=zero, merit=zero, merit_rho=zero, feas=zero,
+            dV1=zero, dV2=zero, reg=zero,
+            max_pconstr=zero, max_tconstr=zero,
+            max_pconstr_prev=zero, max_tconstr_prev=zero,
+            success=jnp.bool_(True), done=jnp.bool_(False), info=info)
+
+        # initial rollout + nominal update (MultiPhaseDDP.cpp:238-261)
+        tr, _ = rollout(plan, s.traj, s.x0, 0.0)
+        tr = update_nominal(tr)
+        cost, maxp, maxt = compute_cost(plan, s.pen, tr)
+        feas = dyn_feas(plan, tr.Defect)
+        s = s._replace(traj=tr, cost=cost, feas=feas, max_pconstr=maxp,
+                       max_tconstr=maxt,
+                       info=push_info(s.info, cost, feas, maxt, maxp))
+
+        def outer_cond(c):
+            s_, it = c
+            return (it < opts.max_AL_iter) & (~s_.done)
+
+        def outer_b(c):
+            s_, it = c
+            return (outer_body(plan, s_), it + 1)
+
+        s, _ = jax.lax.while_loop(outer_cond, outer_b, (s, jnp.int32(0)))
+        return s
+
+    solve._rollout = rollout
+    solve._compute_cost = compute_cost
+    solve._lq_approx = lq_approx
+    solve._backward_sweep = backward_sweep
+    solve._linear_rollout = linear_rollout
+    return solve
