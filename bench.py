@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Benchmark: batched HS-DDP MPC re-solves per second on TPU.
+
+Config 1 of BASELINE.json: HKD-MPC mini-cheetah gait, ~100-knot kinodynamic
+horizon, runtime iteration caps (1 DDP x 2 AL, HKDMPC.cpp:102-103), batched
+over scenarios (perturbed initial states) and solved entirely on-device.
+
+Prints ONE JSON line:
+  {"metric": "hsddp_solves_per_s", "value": N, "unit": "solves/s",
+   "vs_baseline": N/5000}
+"""
+import json
+import os
+import sys
+import time
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+from cafempc_tpu.models import hkd
+from cafempc_tpu.problems import hkd_problem as hp
+from cafempc_tpu.reference.quad_reference import (QuadReference,
+                                                  load_quad_reference)
+from cafempc_tpu.solver.options import load_solver_options
+from cafempc_tpu.solver.plan import host_plan_to_device
+from cafempc_tpu.parallel.mesh import make_batched_solver
+
+REF_DATA = "/root/reference/Reference/Data"
+REF_SETTINGS = "/root/reference/HKDMPC/settings"
+
+
+def main():
+    B = int(os.environ.get("BENCH_BATCH", "2048"))
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
+    dtype = jnp.float32
+    plan_dur = 1.0   # ~100 dynamics knots @ dt 0.01 + reset steps
+
+    ref = load_quad_reference(f"{REF_DATA}/bound/quad_reference.csv")
+    qr = QuadReference(ref)
+    qr.initialize(plan_dur)
+    cfg = hp.HKDConfig(plan_duration=plan_dur, n_steps_max=112)
+    cfg = hp.load_hkd_constraint_params(
+        f"{REF_SETTINGS}/constraint_params.info", cfg)
+    plan_np, pen_np, Xbar0, Ubar0, meta = hp.build_hkd_plan(qr, cfg)
+    plan = host_plan_to_device(plan_np, dtype=dtype)
+    pen = hp.pen_to_device(pen_np, dtype=dtype)
+
+    opts = load_solver_options(f"{REF_SETTINGS}/ddp_setting.info")
+    opts = dataclasses.replace(opts, max_AL_iter=2, max_DDP_iter=1)
+
+    body = np.zeros(12)
+    body[5] = 0.2486
+    qJ = np.array([0, -0.8, 1.6] * 4, dtype=float)
+    qdummy = hkd.compute_hkd_state(
+        jnp.asarray(body[0:3], dtype), jnp.asarray(body[3:6], dtype),
+        jnp.asarray(qJ, dtype),
+        jnp.asarray(meta["phases"][0][3], dtype))
+    x0 = np.concatenate([body, np.asarray(qdummy)]).astype(np.float32)
+
+    rng = np.random.default_rng(0)
+    x0_b = jnp.asarray(x0[None] + rng.normal(0, 0.01, (B, 24)), dtype)
+    pen_b = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), pen)
+    Xb_b = jnp.broadcast_to(jnp.asarray(Xbar0, dtype), (B,) + Xbar0.shape)
+    Ub_b = jnp.broadcast_to(jnp.asarray(Ubar0, dtype), (B,) + Ubar0.shape)
+
+    solve_b = make_batched_solver(hp.make_hkd_fns(), opts)
+
+    # warmup / compile
+    s = solve_b(plan, pen_b, x0_b, Xb_b, Ub_b)
+    jax.block_until_ready(s)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        s = solve_b(plan, pen_b, x0_b, Xb_b, Ub_b)
+    jax.block_until_ready(s)
+    dt = (time.perf_counter() - t0) / iters
+
+    solves_per_s = B / dt
+    print(json.dumps({
+        "metric": "hsddp_solves_per_s",
+        "value": round(solves_per_s, 2),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / 5000.0, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

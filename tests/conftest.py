@@ -1,0 +1,29 @@
+import os
+
+# Default test platform: virtual 8-device CPU mesh, f64 for numeric parity
+# with the reference (which is double-precision C++).  Set CAFEMPC_TEST_TPU=1
+# to run on the real chip instead.
+if not os.environ.get("CAFEMPC_TEST_TPU"):
+    os.environ.setdefault(
+        "XLA_FLAGS",
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8")
+
+import jax  # noqa: E402
+
+if not os.environ.get("CAFEMPC_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def fixtures_dir():
+    return os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)

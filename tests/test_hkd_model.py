@@ -1,0 +1,109 @@
+"""HKD model parity vs golden fixtures generated from the reference's
+CasADi kernels (tools/golden_gen.py), plus finite-difference checks —
+the analogue of the reference's test/testKKTDynamics.cpp strategy."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cafempc_tpu.models import hkd
+
+TOL = 1e-10
+
+
+@pytest.fixture(scope="module")
+def dyn_fix(fixtures_dir):
+    p = os.path.join(fixtures_dir, "hkd_dynamics.npz")
+    if not os.path.exists(p):
+        pytest.skip("golden fixtures not generated")
+    return np.load(p)
+
+
+@pytest.fixture(scope="module")
+def fk_fix(fixtures_dir):
+    p = os.path.join(fixtures_dir, "hkd_footpos.npz")
+    if not os.path.exists(p):
+        pytest.skip("golden fixtures not generated")
+    return np.load(p)
+
+
+def test_dynamics_matches_reference(dyn_fix):
+    d = dyn_fix
+    xn = jax.jit(jax.vmap(hkd.dynamics))(
+        *map(jnp.asarray, (d["x"], d["u"], d["dt"], d["ctact"])))
+    assert np.abs(np.asarray(xn) - d["xnext"]).max() < TOL
+
+
+def test_dynamics_partials_match_reference(dyn_fix):
+    d = dyn_fix
+    A, B = jax.jit(jax.vmap(hkd.dynamics_partials))(
+        *map(jnp.asarray, (d["x"], d["u"], d["dt"], d["ctact"])))
+    assert np.abs(np.asarray(A) - d["A"]).max() < TOL
+    assert np.abs(np.asarray(B) - d["B"]).max() < TOL
+
+
+def test_foot_kinematics_match_reference(fk_fix):
+    f = fk_fix
+    for leg in range(4):
+        idx = np.where(f["leg"] == leg)[0]
+        if len(idx) == 0:
+            continue
+        fp = jax.jit(jax.vmap(
+            lambda p, e, q: hkd.foot_position(p, e, q, leg)))
+        fj = jax.jit(jax.vmap(
+            lambda p, e, q: hkd.foot_jacobian(p, e, q, leg)))
+        pf = fp(*map(jnp.asarray,
+                     (f["pos"][idx], f["eul"][idx], f["qleg"][idx])))
+        J = fj(*map(jnp.asarray,
+                    (f["pos"][idx], f["eul"][idx], f["qleg"][idx])))
+        assert np.abs(np.asarray(pf) - f["pf"][idx]).max() < TOL
+        assert np.abs(np.asarray(J) - f["J"][idx]).max() < TOL
+
+
+def test_partials_vs_finite_difference(rng):
+    x = jnp.asarray(rng.uniform(-1, 1, 24))
+    u = jnp.asarray(rng.uniform(-10, 10, 24))
+    c = jnp.asarray([1.0, 0.0, 1.0, 0.0])
+    dt = 0.01
+    A, B = hkd.dynamics_partials(x, u, dt, c)
+    eps = 1e-6
+    for i in range(0, 24, 5):
+        dx = jnp.zeros(24).at[i].set(eps)
+        fd = (hkd.dynamics(x + dx, u, dt, c)
+              - hkd.dynamics(x - dx, u, dt, c)) / (2 * eps)
+        assert np.abs(np.asarray(A[:, i] - fd)).max() < 1e-6
+        fdu = (hkd.dynamics(x, u + dx, dt, c)
+               - hkd.dynamics(x, u - dx, dt, c)) / (2 * eps)
+        assert np.abs(np.asarray(B[:, i] - fdu)).max() < 1e-6
+
+
+def test_reset_map_semantics():
+    x = jnp.arange(24.0) * 0.05
+    c_cur = jnp.asarray([1.0, 0.0, 1.0, 0.0])
+    c_next = jnp.asarray([0.0, 1.0, 1.0, 0.0])
+    xn = hkd.reset_map(x, c_cur, c_next)
+    # body state unchanged
+    assert np.allclose(np.asarray(xn[:12]), np.asarray(x[:12]))
+    # leg 0 stance->swing: default joint angle
+    assert np.allclose(np.asarray(xn[12:15]), np.asarray(hkd.QLEG_DEFAULT))
+    # leg 1 swing->stance: foot position with z zeroed
+    pf = hkd.foot_position(x[3:6], x[0:3], x[15:18], 1)
+    assert np.allclose(np.asarray(xn[15:18]),
+                       np.asarray(pf * jnp.array([1.0, 1.0, 0.0])))
+    # legs 2,3 unchanged
+    assert np.allclose(np.asarray(xn[18:24]), np.asarray(x[18:24]))
+
+
+def test_reset_partial_vs_fd():
+    x = jnp.asarray(np.random.default_rng(1).uniform(-0.5, 0.5, 24))
+    c_cur = jnp.asarray([1.0, 0.0, 0.0, 1.0])
+    c_next = jnp.asarray([0.0, 1.0, 0.0, 1.0])
+    P = hkd.reset_map_partial(x, c_cur, c_next)
+    eps = 1e-6
+    for i in range(24):
+        dx = jnp.zeros(24).at[i].set(eps)
+        fd = (hkd.reset_map(x + dx, c_cur, c_next)
+              - hkd.reset_map(x - dx, c_cur, c_next)) / (2 * eps)
+        assert np.abs(np.asarray(P[:, i] - fd)).max() < 1e-6
