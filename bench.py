@@ -34,7 +34,7 @@ REF_SETTINGS = "/root/reference/HKDMPC/settings"
 
 
 def main():
-    B = int(os.environ.get("BENCH_BATCH", "2048"))
+    B = int(os.environ.get("BENCH_BATCH", "256"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
     dtype = jnp.float32
     plan_dur = 1.0   # ~100 dynamics knots @ dt 0.01 + reset steps

@@ -1,0 +1,283 @@
+"""Batched rigid-body dynamics algorithms in JAX for the whole-body model.
+
+Replaces the reference's Pinocchio usage (crba / nonLinearEffects /
+forwardDynamics / impulseDynamics / frame kinematics,
+MHPC/MHPC-Trajopt/WBM.cpp:368-543) and the 107-kLoC generated kinematics
+derivative file with a compact, AD-differentiable formulation:
+
+  * world-frame kinematics over an 18-dof single-dof-joint tree (the
+    floating base is the PX,PY,PZ,RZ,RY,RX chain, PinocchioInteface.cpp),
+  * mass matrix from body Jacobians:  M = sum_b J_b^T I_b J_b  — pure
+    batched matmuls, MXU-friendly,
+  * bias forces via AD identities:    h = Mdot v - 0.5 d/dq (v^T M v) + g,
+  * contact/impulse dynamics as masked fixed-size KKT solves (static
+    shapes for 0..4 active feet instead of dynamically-sized systems),
+  * ALL derivatives via jax.jacfwd through these functions (replacing
+    Pinocchio's analytical derivative assembly, WBM.cpp:459-543).
+
+Foot-frame ids FL, FR, HL, HR mirror WBM.h:21.
+"""
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cafempc_tpu.models.urdf import TreeModel, REVOLUTE
+
+
+class RBDAModel(NamedTuple):
+    """Static-topology device model (leaves are jnp arrays; topology lists
+    stay python so loops unroll under trace)."""
+    parent: tuple           # python ints
+    jtype: tuple
+    axis: jnp.ndarray       # [nd, 3]
+    R_tree: jnp.ndarray     # [nd, 3, 3]
+    p_tree: jnp.ndarray     # [nd, 3]
+    mass: jnp.ndarray       # [nd]
+    com: jnp.ndarray        # [nd, 3]
+    inertia: jnp.ndarray    # [nd, 3, 3]
+    frame_dof: tuple        # per end-effector frame: parent dof
+    frame_R: jnp.ndarray    # [nf, 3, 3]
+    frame_p: jnp.ndarray    # [nf, 3]
+    ancestors: np.ndarray   # [nd, nd] bool: ancestors[i, j] = dof j on path
+                            # from root to body i (inclusive)
+
+    @property
+    def nd(self):
+        return len(self.parent)
+
+
+def build_model(tree: TreeModel, dtype=jnp.float64) -> RBDAModel:
+    nd = tree.nd
+    anc = np.zeros((nd, nd), dtype=bool)
+    for i in range(nd):
+        j = i
+        while j >= 0:
+            anc[i, j] = True
+            j = int(tree.parent[j])
+    return RBDAModel(
+        parent=tuple(int(p) for p in tree.parent),
+        jtype=tuple(int(t) for t in tree.jtype),
+        axis=jnp.asarray(tree.axis, dtype),
+        R_tree=jnp.asarray(tree.R_tree, dtype),
+        p_tree=jnp.asarray(tree.p_tree, dtype),
+        mass=jnp.asarray(tree.mass, dtype),
+        com=jnp.asarray(tree.com, dtype),
+        inertia=jnp.asarray(tree.inertia, dtype),
+        frame_dof=tuple(int(f[1]) for f in tree.frames),
+        frame_R=jnp.asarray(np.stack([f[2] for f in tree.frames]), dtype),
+        frame_p=jnp.asarray(np.stack([f[3] for f in tree.frames]), dtype),
+        ancestors=anc)
+
+
+def _rot_axis(axis, q):
+    """Rodrigues rotation about a unit axis."""
+    c, s = jnp.cos(q), jnp.sin(q)
+    K = jnp.array([[0, -axis[2], axis[1]],
+                   [axis[2], 0, -axis[0]],
+                   [-axis[1], axis[0], 0]], dtype=q.dtype)
+    return jnp.eye(3, dtype=q.dtype) + s * K + (1 - c) * (K @ K)
+
+
+def fk(model: RBDAModel, q):
+    """Forward kinematics.
+
+    Returns (R[nd,3,3] body->world rotations, p[nd,3] world origins,
+    a_w[nd,3] world joint axes).
+    """
+    Rs, ps, aw = [], [], []
+    for i in range(model.nd):
+        pi = model.parent[i]
+        Rp = Rs[pi] if pi >= 0 else jnp.eye(3, dtype=q.dtype)
+        pp = ps[pi] if pi >= 0 else jnp.zeros(3, dtype=q.dtype)
+        R_pre = Rp @ model.R_tree[i]
+        p_i = pp + Rp @ model.p_tree[i]
+        if model.jtype[i] == REVOLUTE:
+            R_i = R_pre @ _rot_axis(model.axis[i], q[i])
+        else:
+            R_i = R_pre
+            p_i = p_i + R_pre @ (model.axis[i] * q[i])
+        a_i = R_pre @ model.axis[i]
+        Rs.append(R_i)
+        ps.append(p_i)
+        aw.append(a_i)
+    return jnp.stack(Rs), jnp.stack(ps), jnp.stack(aw)
+
+
+def point_jacobian(model, R, p, aw, dof, point_w, dtype):
+    """6x nd spatial Jacobian [Jw; Jv] of a point attached to body `dof`,
+    world-aligned.  Columns built from the ancestor chain (unrolled)."""
+    nd = model.nd
+    cols_w, cols_v = [], []
+    for j in range(nd):
+        if model.ancestors[dof, j]:
+            if model.jtype[j] == REVOLUTE:
+                cols_w.append(aw[j])
+                cols_v.append(jnp.cross(aw[j], point_w - p[j]))
+            else:
+                cols_w.append(jnp.zeros(3, dtype))
+                cols_v.append(aw[j])
+        else:
+            cols_w.append(jnp.zeros(3, dtype))
+            cols_v.append(jnp.zeros(3, dtype))
+    return jnp.stack(cols_w, axis=1), jnp.stack(cols_v, axis=1)
+
+
+def mass_matrix(model: RBDAModel, q):
+    """M(q) = sum_b [ Jw^T (R I_c R^T) Jw + m Jv_com^T Jv_com ]."""
+    R, p, aw = fk(model, q)
+    dtype = q.dtype
+    M = jnp.zeros((model.nd, model.nd), dtype)
+    for b in range(model.nd):
+        if float(model.mass[b]) == 0.0 and not jnp.any(model.inertia[b]):
+            continue
+        com_w = p[b] + R[b] @ model.com[b]
+        Jw, Jv = point_jacobian(model, R, p, aw, b, com_w, dtype)
+        Iw = R[b] @ model.inertia[b] @ R[b].T
+        M = M + Jw.T @ Iw @ Jw + model.mass[b] * (Jv.T @ Jv)
+    return M
+
+
+GRAVITY = 9.81
+
+
+def gravity_force(model: RBDAModel, q):
+    """g(q): generalized gravity (enters M qdd + C v + g = tau)."""
+    R, p, aw = fk(model, q)
+    dtype = q.dtype
+    g_vec = jnp.array([0.0, 0.0, -GRAVITY], dtype)
+    g = jnp.zeros(model.nd, dtype)
+    for b in range(model.nd):
+        if float(model.mass[b]) == 0.0:
+            continue
+        com_w = p[b] + R[b] @ model.com[b]
+        _, Jv = point_jacobian(model, R, p, aw, b, com_w, dtype)
+        g = g - model.mass[b] * (Jv.T @ g_vec)
+    return g
+
+
+def bias_force(model: RBDAModel, q, v):
+    """h(q,v) = C(q,v) v + g(q), via the AD identity
+    C v = Mdot v - 0.5 * d/dq (v^T M v)."""
+    Mdot = jax.jvp(lambda q_: mass_matrix(model, q_), (q,), (v,))[1]
+    dKE = jax.grad(lambda q_: 0.5 * v @ (mass_matrix(model, q_) @ v))(q)
+    return Mdot @ v - dKE + gravity_force(model, q)
+
+
+def foot_kinematics(model: RBDAModel, q):
+    """World positions of the end-effector frames.  [nf, 3]."""
+    R, p, _ = fk(model, q)
+    out = []
+    for f, dof in enumerate(model.frame_dof):
+        out.append(p[dof] + R[dof] @ model.frame_p[f])
+    return jnp.stack(out)
+
+
+def foot_jacobians(model: RBDAModel, q):
+    """Linear world-aligned Jacobians of the end-effector frames.
+    [nf, 3, nd] — the reference's get_footJacobians (WBM.cpp:349-364)."""
+    R, p, aw = fk(model, q)
+    dtype = q.dtype
+    out = []
+    for f, dof in enumerate(model.frame_dof):
+        pt = p[dof] + R[dof] @ model.frame_p[f]
+        _, Jv = point_jacobian(model, R, p, aw, dof, pt, dtype)
+        out.append(Jv)
+    return jnp.stack(out)
+
+
+def foot_velocities(model: RBDAModel, q, v):
+    """[nf, 3] world foot velocities (WBM.cpp:309-320)."""
+    return jnp.einsum("fij,j->fi", foot_jacobians(model, q), v)
+
+
+def foot_vel_dq(model: RBDAModel, q, v):
+    """d(foot velocity)/dq — the reference's generated footVelPartialDq
+    kernel (WBM.cpp:565-585).  [nf, 3, nd]."""
+    return jax.jacfwd(lambda q_: foot_velocities(model, q_, v))(q)
+
+
+def foot_drift(model: RBDAModel, q, v):
+    """Classical foot acceleration with qdd = 0:  Jdot(q, v) v.  [nf, 3]."""
+    return jax.jvp(lambda q_: foot_velocities(model, q_, v), (q,), (v,))[1]
+
+
+def contact_kkt_dynamics(model: RBDAModel, q, v, tau, contact, bg_alpha,
+                         damping=1e-12):
+    """Contact-constrained forward dynamics with Baumgarte velocity
+    stabilization (WBM.cpp:368-424), masked fixed-size KKT:
+
+        [ M    Jm^T ] [ qdd  ]   [ tau - h  ]
+        [ Jm   -S   ] [ -lam ] = [ -gamma_m ]
+
+    with Jm = contact-masked stacked foot Jacobians (12 x nd), S =
+    diag(1-mask) + damping*mask, gamma = Jdot v + 2*bg_alpha*v_foot.
+    Returns (qdd, GRF[12]).
+    """
+    dtype = q.dtype
+    nd = model.nd
+    cmask3 = jnp.repeat(contact, 3)
+    M = mass_matrix(model, q)
+    h = bias_force(model, q, v)
+    J = foot_jacobians(model, q).reshape(12, nd)
+    Jm = J * cmask3[:, None]
+    vf = (J @ v).reshape(4, 3)
+    gamma = foot_drift(model, q, v).reshape(4, 3) + 2.0 * bg_alpha * vf
+    gamma_m = gamma.reshape(12) * cmask3
+    S = jnp.diag((1.0 - cmask3) + damping * cmask3)
+    K = jnp.block([[M, Jm.T], [Jm, -S]])
+    rhs = jnp.concatenate([tau - h, -gamma_m])
+    z = jnp.linalg.solve(K, rhs)
+    qdd = z[:nd]
+    lam = -z[nd:] * cmask3
+    return qdd, lam
+
+
+def impulse_dynamics(model: RBDAModel, q, v, contact, damping=1e-12):
+    """Inelastic impact (restitution 0): M(v+ - v) = J^T Lam, Jm v+ = 0
+    (WBM.cpp:427-456 / pinocchio impulseDynamics).  Returns (v_post,
+    impulse[12])."""
+    dtype = q.dtype
+    nd = model.nd
+    cmask3 = jnp.repeat(contact, 3)
+    M = mass_matrix(model, q)
+    J = foot_jacobians(model, q).reshape(12, nd)
+    Jm = J * cmask3[:, None]
+    S = jnp.diag((1.0 - cmask3) + damping * cmask3)
+    K = jnp.block([[M, Jm.T], [Jm, -S]])
+    rhs = jnp.concatenate([M @ v, jnp.zeros(12, dtype)])
+    z = jnp.linalg.solve(K, rhs)
+    v_post = z[:nd]
+    imp = -z[nd:] * cmask3
+    return v_post, imp
+
+
+def com_position(model: RBDAModel, q):
+    R, p, _ = fk(model, q)
+    tot = jnp.sum(model.mass)
+    com = jnp.zeros(3, q.dtype)
+    for b in range(model.nd):
+        if float(model.mass[b]) == 0.0:
+            continue
+        com = com + model.mass[b] * (p[b] + R[b] @ model.com[b])
+    return com / tot
+
+
+def centroidal_angular_momentum(model: RBDAModel, q, v):
+    """k_G: angular momentum about the CoM (reference
+    evalute_centroidal_momemtum, WBM.cpp:142-150)."""
+    R, p, aw = fk(model, q)
+    dtype = q.dtype
+    com = com_position(model, q)
+    k = jnp.zeros(3, dtype)
+    for b in range(model.nd):
+        if float(model.mass[b]) == 0.0:
+            continue
+        com_b = p[b] + R[b] @ model.com[b]
+        Jw, Jv = point_jacobian(model, R, p, aw, b, com_b, dtype)
+        w_b = Jw @ v
+        v_b = Jv @ v
+        Iw = R[b] @ model.inertia[b] @ R[b].T
+        k = k + Iw @ w_b + model.mass[b] * jnp.cross(com_b - com, v_b)
+    return k
