@@ -39,7 +39,8 @@ def main():
     dtype = jnp.float32
     plan_dur = 1.0   # ~100 dynamics knots @ dt 0.01 + reset steps
 
-    ref = load_quad_reference(f"{REF_DATA}/bound/quad_reference.csv")
+    ref = load_quad_reference(f"{REF_DATA}/bound/quad_reference.csv",
+                              reorder=True)
     qr = QuadReference(ref)
     qr.initialize(plan_dur)
     cfg = hp.HKDConfig(plan_duration=plan_dur, n_steps_max=112)

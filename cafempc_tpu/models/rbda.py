@@ -40,6 +40,7 @@ class RBDAModel(NamedTuple):
     frame_dof: tuple        # per end-effector frame: parent dof
     frame_R: jnp.ndarray    # [nf, 3, 3]
     frame_p: jnp.ndarray    # [nf, 3]
+    has_mass: tuple         # python bools: body carries inertia/mass
     ancestors: np.ndarray   # [nd, nd] bool: ancestors[i, j] = dof j on path
                             # from root to body i (inclusive)
 
@@ -68,6 +69,8 @@ def build_model(tree: TreeModel, dtype=jnp.float64) -> RBDAModel:
         frame_dof=tuple(int(f[1]) for f in tree.frames),
         frame_R=jnp.asarray(np.stack([f[2] for f in tree.frames]), dtype),
         frame_p=jnp.asarray(np.stack([f[3] for f in tree.frames]), dtype),
+        has_mass=tuple(bool(m > 0 or np.any(I)) for m, I in
+                       zip(tree.mass, tree.inertia)),
         ancestors=anc)
 
 
@@ -130,7 +133,7 @@ def mass_matrix(model: RBDAModel, q):
     dtype = q.dtype
     M = jnp.zeros((model.nd, model.nd), dtype)
     for b in range(model.nd):
-        if float(model.mass[b]) == 0.0 and not jnp.any(model.inertia[b]):
+        if not model.has_mass[b]:
             continue
         com_w = p[b] + R[b] @ model.com[b]
         Jw, Jv = point_jacobian(model, R, p, aw, b, com_w, dtype)
@@ -149,7 +152,7 @@ def gravity_force(model: RBDAModel, q):
     g_vec = jnp.array([0.0, 0.0, -GRAVITY], dtype)
     g = jnp.zeros(model.nd, dtype)
     for b in range(model.nd):
-        if float(model.mass[b]) == 0.0:
+        if not model.has_mass[b]:
             continue
         com_w = p[b] + R[b] @ model.com[b]
         _, Jv = point_jacobian(model, R, p, aw, b, com_w, dtype)
@@ -258,7 +261,7 @@ def com_position(model: RBDAModel, q):
     tot = jnp.sum(model.mass)
     com = jnp.zeros(3, q.dtype)
     for b in range(model.nd):
-        if float(model.mass[b]) == 0.0:
+        if not model.has_mass[b]:
             continue
         com = com + model.mass[b] * (p[b] + R[b] @ model.com[b])
     return com / tot
@@ -272,7 +275,7 @@ def centroidal_angular_momentum(model: RBDAModel, q, v):
     com = com_position(model, q)
     k = jnp.zeros(3, dtype)
     for b in range(model.nd):
-        if float(model.mass[b]) == 0.0:
+        if not model.has_mass[b]:
             continue
         com_b = p[b] + R[b] @ model.com[b]
         Jw, Jv = point_jacobian(model, R, p, aw, b, com_b, dtype)

@@ -126,10 +126,12 @@ def build_hkd_plan(quad_ref: QuadReference, cfg: HKDConfig,
         contact_next=np.zeros((N, 4)), x_ref=np.zeros((N, xs)),
         u_ref=np.zeros((N, us)), y_ref=np.zeros((N, ys)),
         pf_ref=np.zeros((N, 12)), com_ref=np.zeros((N, 3)),
-        vf_ref=np.zeros((N, 12)))
+        vf_ref=np.zeros((N, 12)), ref_contact=np.zeros((N, 4)),
+        model_id=np.zeros(N), model_switch=np.zeros(N))
     knot = dict(
         active=np.zeros(N + 1), is_terminal=np.zeros(N + 1),
         td_mask=np.zeros((N + 1, 4)), contact=np.zeros((N + 1, 4)),
+        ref_contact=np.zeros((N + 1, 4)), model_id=np.zeros(N + 1),
         x_ref=np.zeros((N + 1, xs)), pf_ref=np.zeros((N + 1, 12)),
         com_ref=np.zeros((N + 1, 3)), t=np.zeros(N + 1))
     Xbar0 = np.zeros((N + 1, xs))
@@ -146,6 +148,7 @@ def build_hkd_plan(quad_ref: QuadReference, cfg: HKDConfig,
         step["pf_ref"][j] = rec["foot_placements"]
         step["com_ref"][j] = rec["body_state"][0:3]
         step["vf_ref"][j] = rec["foot_velocities"]
+        step["ref_contact"][j] = rec["contact"]
 
     for ip, (ts, te, hor, contact) in enumerate(phases):
         # knot at phase start

@@ -12,10 +12,11 @@ Body-state layout conventions:
   on file:       [eul, pos, eulrate, vel]     (scripts write hstack(eul,pos,
                                                eulrate,vel))
   in memory:     [pos, eul, vel, eulrate]     (QuadReference.cpp:358-371)
-Leg-dependent quantities are optionally re-ordered left<->right when the
-consumer uses the Cheetah-Software convention (HKD) vs the urdf convention
-(MHPC) — QuadReference.cpp:373-408 (note: reorder=True is the MHPC/urdf
-convention; the CSVs ship in Cheetah-Software order used by HKD).
+Leg-dependent quantities ship in the urdf convention (FL,FR,HL,HR — the
+convention of the python generator and of MHPC, loaded with reorder=false,
+MHPCLocomotion.cpp:36).  reorder=True flips left<->right legs to the
+Cheetah-Software convention (FR,FL,HR,HL) used by HKD-MPC (HKDMPC.h:32)
+and zeroes qJd, mirroring QuadReference.cpp:373-408.
 """
 import dataclasses
 
@@ -64,10 +65,11 @@ def _flip4(a):
 
 
 def load_quad_reference(fname, reorder=False):
-    """Parse quad_reference.csv.  `reorder=True` flips legs to the MHPC/urdf
-    convention and reorders body_state to [pos, eul, vel, eulrate] (always
-    done).  Mirrors QuadReference::load_top_level_data semantics, including
-    zeroing qJd under reorder (QuadReference.cpp:383)."""
+    """Parse quad_reference.csv.  `reorder=True` flips legs to the
+    Cheetah-Software convention used by HKD (and zeroes qJd); the file
+    itself is in urdf convention used by MHPC.  body_state is always
+    reordered to [pos, eul, vel, eulrate]
+    (QuadReference::load_top_level_data, QuadReference.cpp:134-408)."""
     records = {v: [] for v in _KEY_TO_FIELD.values()}
     dt = None
     cur = {v: None for v in _KEY_TO_FIELD.values()}

@@ -1,0 +1,215 @@
+"""Receding-horizon MPC runtime for the HKD problem.
+
+Functional equivalent of the reference HKDMPCSolver (HKDMPC/HKDMPC.cpp) +
+HKDProblem::update (HKDProblem.cpp:117-222):
+
+  * every dt_mpc, the reference window advances and the flat knot plan is
+    rebuilt on the host into the SAME static shapes (the reference instead
+    mutates phase deques in place: pop_front / push_back_default / phase
+    birth+death — here that becomes a cheap numpy rebuild, so the compiled
+    solver never re-specializes),
+  * warm starting maps the previous solution onto the new plan by absolute
+    knot time within interval-matched phases (the reference gets this for
+    free from its shifted deques),
+  * the solve runs with the runtime iteration caps (HKDMPC.cpp:102-103),
+  * a command tape is extracted mirroring publish_mpc_cmd
+    (HKDMPC.cpp:243-298): per-step controls, desired body states, feedback
+    gains, contacts, status durations, and next foot placements
+    (update_foot_placement, HKDMPC.cpp:207-240).
+"""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cafempc_tpu.models import hkd
+from cafempc_tpu.problems import hkd_problem as hp
+from cafempc_tpu.reference.quad_reference import QuadReference
+from cafempc_tpu.solver.hsddp import make_solver
+from cafempc_tpu.solver.options import SolverOptions
+from cafempc_tpu.solver.plan import host_plan_to_device
+
+
+@dataclasses.dataclass
+class CommandTape:
+    """Per-step MPC command (hkd_command_lcmt analogue)."""
+    times: np.ndarray          # [n]
+    controls: np.ndarray       # [n, 24]
+    des_body_state: np.ndarray  # [n, 12]
+    feedback: np.ndarray       # [n, 12, 12] gains on the body state
+    contacts: np.ndarray       # [n, 4]
+    status_times: np.ndarray   # [n, 4]
+    foot_placements: np.ndarray  # [12]
+    solve_info: dict
+
+
+def _phase_key(start, end, contact):
+    return (tuple(int(c) for c in contact),)
+
+
+class HKDMPCRuntime:
+    def __init__(self, quad_ref: QuadReference, cfg: hp.HKDConfig,
+                 opts: SolverOptions, dtype=jnp.float64):
+        self.qr = quad_ref
+        self.cfg = cfg
+        self.dtype = dtype
+        self.fns = hp.make_hkd_fns()
+        self.solve_init = jax.jit(make_solver(self.fns, opts))
+        self.solve_rt = jax.jit(make_solver(self.fns, opts.runtime()))
+        self.dt_mpc = cfg.nsteps_between_mpc * cfg.dt_sim
+        self.mpc_time = 0.0
+        self.state = None
+        self.plan_np = None
+        self.meta = None
+        self.pf = np.zeros((4, 3))
+
+    # ---------------- plan / warm start -----------------------------
+    def _build(self):
+        plan_np, pen_np, Xbar0, Ubar0, meta = hp.build_hkd_plan(
+            self.qr, self.cfg)
+        return plan_np, pen_np, Xbar0, Ubar0, meta
+
+    def _knot_times_abs(self, plan_np, meta):
+        t0 = self.mpc_time
+        return t0 + np.asarray(plan_np.knot.t)
+
+    def _warm_start(self, plan_np, meta, Xbar0, Ubar0):
+        """Carry (Xbar, Ubar, K, dU, dX) from the previous solution onto the
+        new plan by absolute-time matching inside overlapping phases."""
+        if self.state is None:
+            return Xbar0, Ubar0, None
+        old = self.state
+        old_plan, old_meta = self.plan_np, self.meta
+        old_t0 = self.mpc_time - self.dt_mpc
+
+        Xb = Xbar0.copy()
+        Ub = Ubar0.copy()
+        N = Ub.shape[0]
+        K = np.zeros((N, 24, 24))
+        dU = np.zeros((N, 24))
+        dX = np.zeros((N + 1, 24))
+
+        # flat index of each phase's first knot, per plan
+        def phase_slices(meta_):
+            out = []
+            j = 0
+            for (ts, te, hor, c) in meta_["phases"]:
+                out.append((ts, te, hor, tuple(int(x) for x in c), j))
+                j += hor + 1
+            return out
+
+        old_ph = phase_slices(old_meta)
+        new_ph = phase_slices(meta)
+        oXb = np.asarray(old.traj.Xbar)
+        oUb = np.asarray(old.traj.Ubar)
+        oK = np.asarray(old.traj.K)
+        odU = np.asarray(old.traj.dU)
+        odX = np.asarray(old.traj.dX)
+        dt = self.cfg.dt_sim
+
+        for (nts, nte, nhor, nc, nj) in new_ph:
+            for (ots, ote, ohor, oc, oj) in old_ph:
+                o_s, o_e = ots + old_t0, ote + old_t0
+                n_s, n_e = nts + self.mpc_time, nte + self.mpc_time
+                if oc == nc and n_s < o_e - 1e-9 and o_s < n_e - 1e-9:
+                    for k in range(nhor + 1):
+                        t_abs = n_s + k * dt
+                        ko = int(round((t_abs - o_s) / dt))
+                        if 0 <= ko <= ohor:
+                            Xb[nj + k] = oXb[oj + ko]
+                            dX[nj + k] = odX[oj + ko]
+                            if k < nhor and ko < ohor:
+                                Ub[nj + k] = oUb[oj + ko]
+                                K[nj + k] = oK[oj + ko]
+                                dU[nj + k] = odU[oj + ko]
+                    break
+        return Xb, Ub, (K, dU, dX)
+
+    # ---------------- MPC steps --------------------------------------
+    def initialize(self, x0):
+        plan_np, pen_np, Xbar0, Ubar0, meta = self._build()
+        plan = host_plan_to_device(plan_np, self.dtype)
+        pen = hp.pen_to_device(pen_np, self.dtype)
+        s = self.solve_init(plan, pen, jnp.asarray(x0, self.dtype),
+                            jnp.asarray(Xbar0, self.dtype),
+                            jnp.asarray(Ubar0, self.dtype))
+        self.state = jax.block_until_ready(s)
+        self.plan_np = plan_np
+        self.meta = meta
+        self._update_foot_placement()
+        return self.command_tape()
+
+    def update(self, x_meas):
+        """One MPC re-solve at the new measured state (HKDMPC.cpp:97-166)."""
+        self.qr.step(self.dt_mpc)
+        self.mpc_time += self.dt_mpc
+        plan_np, pen_np, Xbar0, Ubar0, meta = self._build()
+        Xb, Ub, warm = self._warm_start(plan_np, meta, Xbar0, Ubar0)
+        plan = host_plan_to_device(plan_np, self.dtype)
+        pen = hp.pen_to_device(pen_np, self.dtype)
+        s = self.solve_rt(plan, pen, jnp.asarray(x_meas, self.dtype),
+                          jnp.asarray(Xb, self.dtype),
+                          jnp.asarray(Ub, self.dtype))
+        # carry the warm-start gains into the stored state for the tape
+        self.state = jax.block_until_ready(s)
+        self.plan_np = plan_np
+        self.meta = meta
+        self._update_foot_placement()
+        return self.command_tape()
+
+    # ---------------- outputs ----------------------------------------
+    def _update_foot_placement(self):
+        """(HKDMPC.cpp:207-240): first future swing->stance transition's
+        qdummy is the commanded foothold."""
+        phases = self.meta["phases"]
+        Xbar = np.asarray(self.state.traj.Xbar)
+        j = 0
+        found = [False] * 4
+        starts = []
+        for (ts, te, hor, c) in phases:
+            starts.append(j)
+            j += hor + 1
+        for i in range(len(phases) - 1):
+            c = phases[i][3]
+            cn = phases[i + 1][3]
+            x_start_next = Xbar[starts[i + 1]]
+            for leg in range(4):
+                if not found[leg] and c[leg] == 0 and cn[leg] == 1:
+                    self.pf[leg] = x_start_next[12 + 3 * leg:15 + 3 * leg]
+                    found[leg] = True
+            if i >= 4:
+                break
+
+    def command_tape(self, n_steps=None):
+        cfg = self.cfg
+        n = n_steps or (cfg.nsteps_between_mpc + 7)  # HKDMPC.cpp:245-246
+        plan = self.plan_np
+        Xbar = np.asarray(self.state.traj.Xbar)
+        Ubar = np.asarray(self.state.traj.Ubar)
+        K = np.asarray(self.state.traj.K)
+        active = np.asarray(plan.step.active)
+        is_reset = np.asarray(plan.step.is_reset)
+        dyn_idx = np.where((active > 0) & (is_reset == 0))[0][:n]
+        # map each dyn step to its phase for contact/status
+        contacts = np.asarray(plan.step.contact)[dyn_idx]
+        status = np.zeros((len(dyn_idx), 4))
+        durs = {i: d for i, (ts, te, h, c) in enumerate(
+            self.meta["phases"])
+            for d in [np.asarray(self.qr.contact_duration_at_t(ts))]}
+        info = dict(
+            cost=np.asarray(self.state.info.cost_buf[
+                :int(self.state.info.n_entries)]),
+            dyn_feas=float(self.state.feas),
+            eqn_feas=float(self.state.max_tconstr),
+            ineq_feas=float(self.state.max_pconstr),
+            iters=int(self.state.info.iters))
+        return CommandTape(
+            times=self.mpc_time + np.arange(len(dyn_idx)) * cfg.dt_sim,
+            controls=Ubar[dyn_idx],
+            des_body_state=Xbar[dyn_idx][:, :12],
+            feedback=K[dyn_idx][:, :12, :12],
+            contacts=contacts,
+            status_times=status,
+            foot_placements=self.pf.reshape(12).copy(),
+            solve_info=info)

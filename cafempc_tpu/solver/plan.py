@@ -41,6 +41,9 @@ class StepData(NamedTuple):
     pf_ref: jnp.ndarray        # [N, 12] reference foot placements
     com_ref: jnp.ndarray       # [N, 3] reference CoM position
     vf_ref: jnp.ndarray        # [N, 12] reference foot velocities
+    ref_contact: jnp.ndarray   # [N, 4] contact of the reference record at t
+    model_id: jnp.ndarray      # [N] 0 = primary model, 1 = tail model (SRB)
+    model_switch: jnp.ndarray  # [N] 1 at the cascade model-switch reset step
 
 
 class KnotData(NamedTuple):
@@ -49,6 +52,8 @@ class KnotData(NamedTuple):
     is_terminal: jnp.ndarray   # [N+1] phase-terminal (incl. final knot)
     td_mask: jnp.ndarray       # [N+1, 4] touchdown legs at this knot
     contact: jnp.ndarray       # [N+1, 4] contact of the phase ending here
+    ref_contact: jnp.ndarray   # [N+1, 4] reference-record contact at t
+    model_id: jnp.ndarray      # [N+1] model owning this knot
     x_ref: jnp.ndarray         # [N+1, xs] terminal state reference
     pf_ref: jnp.ndarray        # [N+1, 12]
     com_ref: jnp.ndarray       # [N+1, 3]

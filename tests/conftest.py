@@ -14,6 +14,13 @@ import jax  # noqa: E402
 if not os.environ.get("CAFEMPC_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent compilation cache: the whole-body solver graph is large
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+jax.config.update("jax_persistent_cache_enable_xla_caches",
+                  "xla_gpu_per_fusion_autotune_cache_dir")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,98 @@
+"""LCM-compatible comms tests: marshalling round-trips, type hashes,
+and UDP multicast pub/sub loopback (incl. fragmentation)."""
+import numpy as np
+import pytest
+
+from cafempc_tpu.comms import lcm_wire as w
+
+
+def test_all_types_roundtrip():
+    rng = np.random.default_rng(0)
+    for cls in w.ALL_TYPES:
+        msg = cls()
+        # set variable dims small
+        for f in cls.FIELDS:
+            if not f.dims and f.typ.startswith("int"):
+                setattr(msg, f.name, 3)
+        for f in cls.FIELDS:
+            if f.dims:
+                shape = msg._shape(f)
+                if f.typ.startswith("int") or f.typ == "boolean":
+                    setattr(msg, f.name,
+                            rng.integers(0, 2, shape))
+                else:
+                    setattr(msg, f.name, rng.normal(size=shape))
+        data = msg.encode()
+        out = cls.decode(data)
+        for f in cls.FIELDS:
+            a = np.asarray(getattr(msg, f.name), dtype=float)
+            b = np.asarray(getattr(out, f.name), dtype=float)
+            tol = 1e-6 if f.typ == "float" else 1e-12
+            assert np.allclose(a, b, rtol=tol, atol=tol), (cls.__name__,
+                                                           f.name)
+
+
+def test_hash_stability_and_uniqueness():
+    hashes = {cls.__name__: cls.type_hash() for cls in w.ALL_TYPES}
+    assert len(set(hashes.values())) == len(hashes)
+    # decode with wrong type fails
+    msg = w.solver_info_lcmt(n_iter=1, n_ls_iter=2, n_reg_iter=3,
+                             solve_time=0.1, cost=1.0, dyn_feas=0.0,
+                             ineq_violation=0.0, eq_violation=0.0)
+    with pytest.raises(ValueError):
+        w.MHPC_Data_lcmt.decode(msg.encode())
+
+
+def test_udpm_loopback():
+    from cafempc_tpu.comms.udpm import LCMEndpoint, UDPMulticast
+    try:
+        ep = LCMEndpoint(UDPMulticast(("239.255.76.67", 7667)))
+    except OSError:
+        pytest.skip("multicast unavailable in sandbox")
+    got = []
+    ep.subscribe("test_info", w.solver_info_lcmt,
+                 lambda ch, m: got.append(m))
+    msg = w.solver_info_lcmt(n_iter=7, n_ls_iter=1, n_reg_iter=0,
+                             solve_time=1.5, cost=42.0, dyn_feas=1e-3,
+                             ineq_violation=0.0, eq_violation=0.0)
+    ep.publish("test_info", msg)
+    ok = False
+    for _ in range(20):
+        if ep.handle(0.2) and got:
+            ok = True
+            break
+    ep.close()
+    if not ok:
+        pytest.skip("multicast loopback not received (sandbox)")
+    assert got[0].n_iter == 7
+    assert abs(got[0].cost - 42.0) < 1e-6
+
+
+def test_udpm_fragmentation_loopback():
+    from cafempc_tpu.comms.udpm import LCMEndpoint, UDPMulticast
+    try:
+        ep = LCMEndpoint(UDPMulticast(("239.255.76.67", 7667)))
+    except OSError:
+        pytest.skip("multicast unavailable in sandbox")
+    got = []
+    ep.subscribe("test_traj", w.wbTraj_lcmt, lambda ch, m: got.append(m))
+    sz = 2000  # ~large message -> fragmented
+    msg = w.wbTraj_lcmt(sz=sz, wb_sz=sz)
+    rng = np.random.default_rng(1)
+    for f in w.wbTraj_lcmt.FIELDS:
+        if f.dims:
+            shape = msg._shape(f)
+            setattr(msg, f.name, rng.normal(size=shape)
+                    if f.typ == "double" else rng.integers(0, 2, shape))
+    ep.publish("test_traj", msg)
+    ok = False
+    for _ in range(50):
+        ep.handle(0.1)
+        if got:
+            ok = True
+            break
+    ep.close()
+    if not ok:
+        pytest.skip("multicast loopback not received (sandbox)")
+    np.testing.assert_allclose(np.asarray(got[0].pos),
+                               np.asarray(msg.pos), atol=1e-12)

@@ -20,7 +20,8 @@ REF_SETTINGS = "/root/reference/HKDMPC/settings"
 
 
 def build(gait="bound", plan_dur=0.6):
-    ref = load_quad_reference(f"{REF_DATA}/{gait}/quad_reference.csv")
+    ref = load_quad_reference(f"{REF_DATA}/{gait}/quad_reference.csv",
+                              reorder=True)
     qr = QuadReference(ref)
     qr.initialize(plan_dur)
     cfg = hp.HKDConfig(plan_duration=plan_dur)
