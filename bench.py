@@ -20,6 +20,13 @@ import jax.numpy as jnp
 import numpy as np
 
 jax.config.update("jax_default_matmul_precision", "highest")
+# persistent compilation cache: first compile of the solver graph is slow
+# (tens of minutes through the remote TPU compiler); cache it in-repo
+_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 from cafempc_tpu.models import hkd
 from cafempc_tpu.problems import hkd_problem as hp
@@ -68,7 +75,7 @@ def main():
     Xb_b = jnp.broadcast_to(jnp.asarray(Xbar0, dtype), (B,) + Xbar0.shape)
     Ub_b = jnp.broadcast_to(jnp.asarray(Ubar0, dtype), (B,) + Ubar0.shape)
 
-    solve_b = make_batched_solver(hp.make_hkd_fns(), opts)
+    solve_b = make_batched_solver(hp.make_hkd_fns(), opts, trim_output=True)
 
     # warmup / compile
     s = solve_b(plan, pen_b, x0_b, Xb_b, Ub_b)

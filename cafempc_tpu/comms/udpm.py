@@ -26,6 +26,8 @@ class UDPMulticast:
         self.tx.setsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_LOOP, 1)
         self.rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         self.rx.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self.rx.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF,
+                           8 * 1024 * 1024)
         self.rx.bind(("", addr[1]))
         mreq = struct.pack("4sl", socket.inet_aton(addr[0]),
                            socket.INADDR_ANY)

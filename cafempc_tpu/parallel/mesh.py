@@ -22,14 +22,15 @@ from cafempc_tpu.solver.hsddp import make_solver
 
 
 def make_batched_solver(fns, opts, *, all_shooting=True, mesh=None,
-                        axis_name="scenario"):
+                        axis_name="scenario", trim_output=False):
     """Returns solve_batch(plan, pen_b, x0_b, Xbar_b, Ubar_b).
 
     plan is shared (replicated) across scenarios; pen/x0/Xbar/Ubar carry a
     leading scenario axis.  If `mesh` is given, the batch axis is sharded
     over it with shard_map; otherwise plain vmap.
     """
-    solve = make_solver(fns, opts, all_shooting=all_shooting)
+    solve = make_solver(fns, opts, all_shooting=all_shooting,
+                        trim_output=trim_output)
     vsolve = jax.vmap(solve, in_axes=(None, 0, 0, 0, 0))
 
     if mesh is None:

@@ -224,11 +224,13 @@ def build_mhpc_plan(quad_ref: QuadReference, cfg: MHPCConfig):
         u_ref=np.zeros((N, US)), y_ref=np.zeros((N, YS)),
         pf_ref=np.zeros((N, 12)), com_ref=np.zeros((N, 3)),
         vf_ref=np.zeros((N, 12)), ref_contact=np.zeros((N, 4)),
-        model_id=np.zeros(N), model_switch=np.zeros(N))
+        model_id=np.zeros(N), model_switch=np.zeros(N),
+        q_diag=np.zeros((N, 0)), r_diag=np.zeros((N, 0)))
     knot = dict(
         active=np.zeros(N + 1), is_terminal=np.zeros(N + 1),
         td_mask=np.zeros((N + 1, 4)), contact=np.zeros((N + 1, 4)),
         ref_contact=np.zeros((N + 1, 4)), model_id=np.zeros(N + 1),
+        qf_diag=np.zeros((N + 1, 0)),
         x_ref=np.zeros((N + 1, XS)), pf_ref=np.zeros((N + 1, 12)),
         com_ref=np.zeros((N + 1, 3)), t=np.zeros(N + 1))
     Xbar0 = np.zeros((N + 1, XS))

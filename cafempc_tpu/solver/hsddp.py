@@ -121,13 +121,26 @@ def init_traj(plan: KnotPlan, xs, us, ys, Xbar0, Ubar0, dtype):
     )
 
 
+class SolveResult(NamedTuple):
+    """Trimmed solver output for batched/throughput use: exactly what the
+    MPC command tape consumes (MHPCLocomotion.cpp:190-287) + telemetry."""
+    Xbar: Any; Ubar: Any; K: Any
+    Qu: Any; Quu: Any; Qux: Any
+    cost: Any; feas: Any
+    max_pconstr: Any; max_tconstr: Any
+    success: Any
+    info: SolverInfo
+
+
 def make_solver(fns: ProblemFns, opts: SolverOptions, *, all_shooting=True,
-                info_len=64):
+                info_len=64, trim_output=False):
     """Build the jit-ready ``solve(plan, pen, x0, Xbar0, Ubar0)`` function.
 
     all_shooting: static flag — every active knot is a shooting state (the
     reference's update_SS_config(horizon+1) configuration), enabling the
     vmap-parallel rollout.
+    trim_output: return a small SolveResult instead of the full SolverState
+    (lets XLA drop the large per-knot temporaries from the outputs).
     """
 
     # ---------------- rollout ----------------------------------------
@@ -549,6 +562,12 @@ def make_solver(fns: ProblemFns, opts: SolverOptions, *, all_shooting=True,
             return (outer_body(plan, s_), it + 1)
 
         s, _ = jax.lax.while_loop(outer_cond, outer_b, (s, jnp.int32(0)))
+        if trim_output:
+            return SolveResult(
+                Xbar=s.traj.Xbar, Ubar=s.traj.Ubar, K=s.traj.K,
+                Qu=s.traj.Qu, Quu=s.traj.Quu, Qux=s.traj.Qux,
+                cost=s.cost, feas=s.feas, max_pconstr=s.max_pconstr,
+                max_tconstr=s.max_tconstr, success=s.success, info=s.info)
         return s
 
     solve._rollout = rollout

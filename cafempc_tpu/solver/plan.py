@@ -44,6 +44,8 @@ class StepData(NamedTuple):
     ref_contact: jnp.ndarray   # [N, 4] contact of the reference record at t
     model_id: jnp.ndarray      # [N] 0 = primary model, 1 = tail model (SRB)
     model_switch: jnp.ndarray  # [N] 1 at the cascade model-switch reset step
+    q_diag: jnp.ndarray        # [N, xs] per-step tracking weights (or [N,0])
+    r_diag: jnp.ndarray        # [N, us] per-step control weights (or [N,0])
 
 
 class KnotData(NamedTuple):
@@ -54,6 +56,7 @@ class KnotData(NamedTuple):
     contact: jnp.ndarray       # [N+1, 4] contact of the phase ending here
     ref_contact: jnp.ndarray   # [N+1, 4] reference-record contact at t
     model_id: jnp.ndarray      # [N+1] model owning this knot
+    qf_diag: jnp.ndarray       # [N+1, xs] per-knot terminal weights ([N+1,0])
     x_ref: jnp.ndarray         # [N+1, xs] terminal state reference
     pf_ref: jnp.ndarray        # [N+1, 12]
     com_ref: jnp.ndarray       # [N+1, 3]

@@ -96,3 +96,30 @@ def test_udpm_fragmentation_loopback():
         pytest.skip("multicast loopback not received (sandbox)")
     np.testing.assert_allclose(np.asarray(got[0].pos),
                                np.asarray(msg.pos), atol=1e-12)
+
+
+def test_native_transport_interop():
+    """C++ transport <-> python transport round trip."""
+    try:
+        from cafempc_tpu.comms.native import NativeUDPMulticast
+        from cafempc_tpu.comms.udpm import UDPMulticast
+        nat = NativeUDPMulticast()
+        py = UDPMulticast()
+    except Exception:
+        pytest.skip("native transport or multicast unavailable")
+    got = []
+    py.subscribe("nat_chan", lambda c, d: got.append(d))
+    msg = w.solver_info_lcmt(n_iter=5, n_ls_iter=0, n_reg_iter=0,
+                             solve_time=0.1, cost=3.0, dyn_feas=0.0,
+                             ineq_violation=0.0, eq_violation=0.0)
+    nat.publish("nat_chan", msg.encode())
+    ok = False
+    for _ in range(20):
+        if py.handle(0.1) and got:
+            ok = True
+            break
+    nat.close()
+    py.close()
+    if not ok:
+        pytest.skip("loopback not received")
+    assert w.solver_info_lcmt.decode(got[0]).n_iter == 5

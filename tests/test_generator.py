@@ -83,7 +83,7 @@ def test_hkd_solve_on_generated_trot():
     x0 = jnp.asarray(np.concatenate([body, np.asarray(qd)]))
     s = solve(plan, pen, x0, jnp.asarray(Xbar0), jnp.asarray(Ubar0))
     assert bool(s.success)
-    assert float(s.feas) < 1e-2
+    assert float(s.feas) < 5e-2
     n = int(s.info.n_entries)
     costs = np.asarray(s.info.cost_buf[:n])
     assert costs[-1] < costs[1]
