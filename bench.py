@@ -20,6 +20,16 @@ import jax.numpy as jnp
 import numpy as np
 
 jax.config.update("jax_default_matmul_precision", "highest")
+
+def _ensure_backend():
+    """JAX_PLATFORMS=axon poisons initialization when the plugin registers
+    under a different discovery path; fall back to automatic selection."""
+    try:
+        jax.devices()
+    except RuntimeError:
+        jax.config.update("jax_platforms", "")
+_ensure_backend()
+
 # persistent compilation cache: first compile of the solver graph is slow
 # (tens of minutes through the remote TPU compiler); cache it in-repo
 _cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -286,8 +286,12 @@ def build_mhpc_plan(quad_ref: QuadReference, cfg: MHPCConfig):
                         else contact_after_wb)
         knot["td_mask"][j] = ((contact == 0) & (contact_next == 1)) \
             .astype(float)
-        # reset step (to next WB phase, or into the SRB tail)
+        # reset step (to next WB phase, or into the SRB tail); the last WB
+        # phase gets no reset when there is no SRB tail (plan_dur_srb = 0,
+        # the reference's testSRBPlanning / WB-only configuration)
         is_last_wb = ip + 1 >= n_wb
+        if is_last_wb and srb_horizon == 0:
+            break
         step["active"][j] = 1.0
         step["is_reset"][j] = 1.0
         fill_step(j, te, cfg.dt_wb, contact, 0)
@@ -298,18 +302,19 @@ def build_mhpc_plan(quad_ref: QuadReference, cfg: MHPCConfig):
         j += 1
 
     # SRB tail phase
-    srb_t0 = cfg.plan_dur_wb
-    for k in range(srb_horizon):
-        t = srb_t0 + k * cfg.dt_srb
-        step["active"][j] = 1.0
-        fill_step(j, t, cfg.dt_srb, np.zeros(4), 1)
-        fill_knot(j, t, np.zeros(4), 1)
-        Xbar0[j] = embed_srb(srb_state_ref_at(quad_ref, t))
-        j += 1
-    t_end = srb_t0 + srb_horizon * cfg.dt_srb
-    fill_knot(j, t_end, np.zeros(4), 1)
-    knot["is_terminal"][j] = 1.0
-    Xbar0[j] = embed_srb(srb_state_ref_at(quad_ref, t_end))
+    if srb_horizon > 0:
+        srb_t0 = cfg.plan_dur_wb
+        for k in range(srb_horizon):
+            t = srb_t0 + k * cfg.dt_srb
+            step["active"][j] = 1.0
+            fill_step(j, t, cfg.dt_srb, np.zeros(4), 1)
+            fill_knot(j, t, np.zeros(4), 1)
+            Xbar0[j] = embed_srb(srb_state_ref_at(quad_ref, t))
+            j += 1
+        t_end = srb_t0 + srb_horizon * cfg.dt_srb
+        fill_knot(j, t_end, np.zeros(4), 1)
+        knot["is_terminal"][j] = 1.0
+        Xbar0[j] = embed_srb(srb_state_ref_at(quad_ref, t_end))
 
     n_knots = j + 1
     assert n_knots <= N + 1, (n_knots, N)

@@ -133,7 +133,8 @@ class SolveResult(NamedTuple):
 
 
 def make_solver(fns: ProblemFns, opts: SolverOptions, *, all_shooting=True,
-                info_len=64, trim_output=False):
+                info_len=64, trim_output=False,
+                parallel_linear_rollout=True, parallel_riccati=False):
     """Build the jit-ready ``solve(plan, pen, x0, Xbar0, Ubar0)`` function.
 
     all_shooting: static flag — every active knot is a shooting state (the
@@ -334,6 +335,138 @@ def make_solver(fns: ProblemFns, opts: SolverOptions, *, all_shooting=True,
         tr = tr._replace(G=G, H=H, K=K, dU=dU, Qu=Qu, Quu=Quu, Qux=Qux)
         return tr, dV1, dV2, ok
 
+    # ---------------- parallel (associative-scan) backward sweep ------
+    def backward_sweep_parallel(plan, tr: TrajState, reg):
+        """Parallel-in-time Riccati sweep.
+
+        The value-function backward map of each step is a linear
+        fractional transform represented by a 5-tuple (A, b, C, eta, J)
+        with an associative composition (cf. PAPERS.md: Parallelization of
+        Riccati Recursion / temporal LQT parallelization), extended here
+        with control cross terms (lux), multiple-shooting defects, and the
+        impact-aware reset transforms (G <- Px^T G, H <- Px^T H Px) which
+        are plain affine elements.  Suffix compositions via
+        `lax.associative_scan(reverse=True)` give every knot's (G, H) in
+        O(log N) depth; gains/Q-expansions are then recovered knot-parallel.
+        Produces the same outputs (incl. the PSD success flag) as the
+        sequential sweep.
+        """
+        sd = plan.step
+        xs = tr.Xbar.shape[-1]
+        us = tr.Ubar.shape[-1]
+        N = tr.Ubar.shape[0]
+        I_u = jnp.eye(us, dtype=tr.Xbar.dtype)
+        I_x = jnp.eye(xs, dtype=tr.Xbar.dtype)
+        w = ((sd.is_reset > 0) | (sd.active == 0))
+
+        # effective cost partials including the y-output terms
+        lyC = jnp.einsum("kij,ki->kj", tr.C, tr.ly)
+        lyD = jnp.einsum("kij,ki->kj", tr.D, tr.ly)
+        lxx = tr.lxx + jnp.einsum("kji,kjl,klm->kim", tr.C, tr.lyy, tr.C) \
+            + reg * I_x
+        luu = tr.luu + jnp.einsum("kji,kjl,klm->kim", tr.D, tr.lyy, tr.D) \
+            + reg * I_u
+        lux = tr.lux + jnp.einsum("kji,kjl,klm->kim", tr.D, tr.lyy, tr.C)
+        lx = tr.lx + lyC
+        lu = tr.lu + lyD
+
+        # dyn-step elements: eliminate u around the regularized luu
+        luu_inv = jnp.linalg.inv(luu)
+        Kc = jnp.einsum("kij,kjl->kil", luu_inv, lux)
+        kc = jnp.einsum("kij,kj->ki", luu_inv, lu)
+        A_d = tr.A - jnp.einsum("kij,kjl->kil", tr.B, Kc)
+        b_d = tr.Defect[1:] - jnp.einsum("kij,kj->ki", tr.B, kc)
+        C_d = jnp.einsum("kij,kjl,kml->kim", tr.B, luu_inv, tr.B)
+        eta_d = lx - jnp.einsum("kji,kj->ki", Kc, lu)
+        J_d = lxx - jnp.einsum("kji,kjl->kil", lux, Kc)
+        J_d = 0.5 * (J_d + jnp.swapaxes(J_d, -1, -2))
+
+        # transform elements (reset / padding): affine in (G', H')
+        zC = jnp.zeros_like(C_d[..., :xs, :xs])
+        wA = w[:, None, None]
+        A_e = jnp.where(wA, tr.A, A_d)
+        b_e = jnp.where(w[:, None], tr.Defect[1:], b_d)
+        C_e = jnp.where(wA, zC, C_d)
+        eta_e = jnp.where(w[:, None], tr.phix[:-1], eta_d)
+        J_e = jnp.where(wA, tr.phixx[:-1], J_d)
+
+        # terminal element
+        A_e = jnp.concatenate([A_e, jnp.zeros((1, xs, xs), A_e.dtype)])
+        b_e = jnp.concatenate([b_e, jnp.zeros((1, xs), b_e.dtype)])
+        C_e = jnp.concatenate([C_e, jnp.zeros((1, xs, xs), C_e.dtype)])
+        eta_e = jnp.concatenate([eta_e, tr.phix[-1:]])
+        J_e = jnp.concatenate([J_e, tr.phixx[-1:]])
+
+        def combine(later, earlier):
+            # associative_scan(reverse=True) folds as fn(suffix, elem):
+            # first arg = later-time composite, second = earlier element
+            f, l = earlier, later
+            Af, bf, Cf, etaf, Jf = f
+            Al, bl, Cl, etal, Jl = l
+            M = jnp.linalg.solve(
+                jnp.eye(xs, dtype=Af.dtype) + jnp.einsum(
+                    "...ij,...jl->...il", Cf, Jl),
+                jnp.concatenate([Af, (bf - jnp.einsum(
+                    "...ij,...j->...i", Cf, etal))[..., None], Cf], -1))
+            MA = M[..., :xs]
+            Mb = M[..., xs]
+            MC = M[..., xs + 1:]
+            Nt = jnp.linalg.solve(
+                jnp.eye(xs, dtype=Af.dtype) + jnp.einsum(
+                    "...ij,...jl->...il", Jl, Cf),
+                jnp.concatenate([
+                    jnp.einsum("...ij,...jl->...il", Jl, Af),
+                    (etal + jnp.einsum("...ij,...j->...i", Jl, bf))[
+                        ..., None]], -1))
+            NJ = Nt[..., :xs]
+            Ne = Nt[..., xs]
+            A_t = jnp.einsum("...ij,...jl->...il", Al, MA)
+            b_t = jnp.einsum("...ij,...j->...i", Al, Mb) + bl
+            C_t = jnp.einsum("...ij,...lj->...il", jnp.einsum(
+                "...ij,...jl->...il", Al, MC), Al) + Cl
+            eta_t = jnp.einsum("...ji,...j->...i", Af, Ne) + etaf
+            J_t = jnp.einsum("...ji,...jl->...il", Af, NJ) + Jf
+            J_t = 0.5 * (J_t + jnp.swapaxes(J_t, -1, -2))
+            return (A_t, b_t, C_t, eta_t, J_t)
+
+        _, _, _, eta_s, J_s = jax.lax.associative_scan(
+            combine, (A_e, b_e, C_e, eta_e, J_e), reverse=True)
+        G = eta_s
+        H = J_s
+
+        # knot-parallel Q-expansion / gains from (G, H) (the same formulas
+        # as the sequential sweep, SinglePhase.cpp:334-386)
+        Gn = G[1:] + jnp.einsum("kij,kj->ki", H[1:], tr.Defect[1:])
+        Qu = lu + jnp.einsum("kji,kj->ki", tr.B, Gn)
+        Quu = luu + jnp.einsum("kji,kjl,klm->kim", tr.B, H[1:], tr.B)
+        Qux = lux + jnp.einsum("kji,kjl,klm->kim", tr.B, H[1:], tr.A)
+        L = jnp.linalg.cholesky(Quu - 1e-9 * I_u)
+        ok_chol = jnp.all(jnp.isfinite(L), axis=(-1, -2))
+        ok_k = ok_chol | (w > 0)
+        L_safe = jnp.where(ok_chol[:, None, None], L,
+                           jnp.broadcast_to(I_u, L.shape))
+        Quu_inv = jax.vmap(
+            lambda Lk: jax.scipy.linalg.cho_solve((Lk, True), I_u))(L_safe)
+        dU = -jnp.einsum("kij,kj->ki", Quu_inv, Qu)
+        K = -jnp.einsum("kij,kjl->kil", Quu_inv, Qux)
+        dV_k = -jnp.einsum("ki,ki->k", Qu, dU) * (1.0 - w)
+        dV1 = -jnp.sum(dV_k)
+        dV2 = jnp.sum(dV_k)
+        zK = jnp.zeros_like(K)
+        K = jnp.where(w[:, None, None], zK, K)
+        dU = jnp.where(w[:, None], jnp.zeros_like(dU), dU)
+        Qu = jnp.where(w[:, None], jnp.zeros_like(Qu), Qu)
+        Quu = jnp.where(w[:, None, None], jnp.broadcast_to(I_u, Quu.shape),
+                        Quu)
+        Qux = jnp.where(w[:, None, None], jnp.zeros_like(Qux), Qux)
+        ok = jnp.all(ok_k) & jnp.all(jnp.isfinite(H))
+        G = G.at[0].add(H[0] @ tr.Defect[0])
+        tr = tr._replace(G=G, H=H, K=K, dU=dU, Qu=Qu, Quu=Quu, Qux=Qux)
+        return tr, dV1, dV2, ok
+
+    sweep_fn = backward_sweep_parallel if parallel_riccati \
+        else backward_sweep
+
     def backward_sweep_regularized(plan, tr, reg0):
         """(MultiPhaseDDP.cpp:136-165)."""
         def cond(c):
@@ -342,7 +475,7 @@ def make_solver(fns: ProblemFns, opts: SolverOptions, *, all_shooting=True,
 
         def body(c):
             tr_, reg, ok, _, _, it = c
-            tr2, dV1, dV2, ok2 = backward_sweep(plan, tr_, reg)
+            tr2, dV1, dV2, ok2 = sweep_fn(plan, tr_, reg)
             reg2 = jnp.where(ok2, reg,
                              jnp.maximum(reg * opts.update_regularization,
                                          opts.reg_min_init))
@@ -356,7 +489,45 @@ def make_solver(fns: ProblemFns, opts: SolverOptions, *, all_shooting=True,
         return tr, reg, ok, dV1, dV2, n_it
 
     # ---------------- linear rollout ----------------------------------
-    def linear_rollout(plan, tr: TrajState, eps):
+    def linear_rollout_parallel(plan, tr: TrajState, eps):
+        """Associative-scan linear rollout: the affine recursion
+        dx_{k+1} = M_k dx_k + c_k (M_k = A_k + B_k K_k on dynamics steps,
+        Px on reset/padding steps) is a parallel prefix composition
+        (M2,c2)o(M1,c1) = (M2 M1, M2 c1 + c2) — O(log N) sequential depth
+        instead of the reference's O(N) loop (SinglePhase.cpp:145-178).
+        The dV sums are then plain masked reductions over knots."""
+        sd = plan.step
+        w = ((sd.is_reset > 0) | (sd.active == 0))[:, None, None]
+        BK = jnp.einsum("kij,kjl->kil", tr.B, tr.K)
+        M = jnp.where(w, tr.A, tr.A + BK)
+        Bdu = jnp.einsum("kij,kj->ki", tr.B, eps * tr.dU)
+        c = jnp.where(w[:, :, 0], 0.0, Bdu) + eps * tr.Defect[1:]
+
+        dx0 = eps * tr.Defect[0]
+        # prefix-compose: dX[k+1] = (M_k ... M_0) dx0 + accumulated c
+        Mc, cc = jax.lax.associative_scan(
+            lambda a, b: (jnp.einsum("kij,kjl->kil", b[0], a[0]),
+                          jnp.einsum("kij,kj->ki", b[0], a[1]) + b[1]),
+            (M, c))
+        dX_tail = jnp.einsum("kij,j->ki", Mc, dx0) + cc
+        dX = jnp.concatenate([dx0[None], dX_tail], axis=0)
+
+        dxk = dX[:-1]
+        duk = eps * tr.dU + jnp.einsum("kij,kj->ki", tr.K, dxk)
+        w1 = 1.0 - w[:, 0, 0]
+        dV1_dyn = jnp.sum(w1 * (jnp.einsum("ki,ki->k", tr.lx, dxk)
+                                + jnp.einsum("ki,ki->k", tr.lu, duk)))
+        dV2_dyn = jnp.sum(w1 * (
+            jnp.einsum("ki,kij,kj->k", dxk, tr.lxx, dxk)
+            + jnp.einsum("ki,kij,kj->k", duk, tr.luu, duk)
+            + jnp.einsum("ki,kij,kj->k", duk, tr.lux, dxk)))
+        # terminal contributions at every phase-terminal knot (phix/phixx
+        # are masked to those knots) + the final knot
+        dV1_tr = jnp.sum(jnp.einsum("ki,ki->k", tr.phix, dX))
+        dV2_tr = jnp.sum(jnp.einsum("ki,kij,kj->k", dX, tr.phixx, dX))
+        return tr._replace(dX=dX), dV1_dyn + dV1_tr, dV2_dyn + dV2_tr
+
+    def linear_rollout_seq(plan, tr: TrajState, eps):
         """Multiple-shooting search direction + expected cost change
         (SinglePhase.cpp:145-178 + MultiPhaseDDP.cpp:12-42)."""
         sd = plan.step
@@ -390,6 +561,9 @@ def make_solver(fns: ProblemFns, opts: SolverOptions, *, all_shooting=True,
         dV1 = dV1 + tr.phix[-1] @ dxN
         dV2 = dV2 + dxN @ (tr.phixx[-1] @ dxN)
         return tr._replace(dX=dX), dV1, dV2
+
+    linear_rollout = (linear_rollout_parallel if parallel_linear_rollout
+                      else linear_rollout_seq)
 
     # ---------------- line search -------------------------------------
     def line_search(plan, pen, tr, x0, cost0, merit0, feas0, rho, dV1, dV2):
@@ -574,5 +748,6 @@ def make_solver(fns: ProblemFns, opts: SolverOptions, *, all_shooting=True,
     solve._compute_cost = compute_cost
     solve._lq_approx = lq_approx
     solve._backward_sweep = backward_sweep
+    solve._backward_sweep_parallel = backward_sweep_parallel
     solve._linear_rollout = linear_rollout
     return solve
