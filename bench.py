@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_default_matmul_precision", "highest")
+jax.config.update("jax_default_matmul_precision",
+                  os.environ.get("BENCH_PRECISION", "highest"))
 
 def _ensure_backend():
     """JAX_PLATFORMS=axon poisons initialization when the plugin registers

@@ -107,3 +107,35 @@ def test_single_shooting_mode_runs():
     assert costs[-1] <= costs[0]
     # single shooting: no defects by construction
     assert float(s.feas) < 1e-8
+
+
+def test_parallel_riccati_end_to_end():
+    """Associative-scan Riccati sweep produces the same solve as the
+    sequential reverse scan."""
+    plan, pen, x0, Xb, Ub, _ = build(plan_dur=0.3)
+    opts = load_solver_options(f"{REF_SETTINGS}/ddp_setting.info")
+    s1 = jax.jit(make_solver(hp.make_hkd_fns(), opts,
+                             parallel_riccati=False))(plan, pen, x0, Xb, Ub)
+    s2 = jax.jit(make_solver(hp.make_hkd_fns(), opts,
+                             parallel_riccati=True))(plan, pen, x0, Xb, Ub)
+    assert bool(s2.success)
+    assert abs(float(s1.cost) - float(s2.cost)) < 1e-5 * max(
+        1.0, abs(float(s1.cost)))
+    assert float(jnp.abs(s1.traj.Ubar - s2.traj.Ubar).max()) < 1e-4
+
+
+def test_trajectory_logging(solved, tmp_path):
+    """Reference-format text logs round-trip (HSDDP_Utils.h:81-142
+    analogue)."""
+    from cafempc_tpu.utils.traj_logging import log_trajectory_sequence, \
+        load_log
+    s, plan, meta = solved
+    import cafempc_tpu.solver.plan as planmod
+    log_trajectory_sequence(str(tmp_path), s, plan)
+    X = load_log(str(tmp_path), "state_log.txt")
+    U = load_log(str(tmp_path), "control_log.txt")
+    assert X.shape[1] == 24 and U.shape[1] == 24
+    # n_phases extra rows: one duplicated control + terminal state per phase
+    n_phases = len(meta["phases"])
+    n_active = int(np.asarray(plan.knot.active).sum())
+    assert X.shape[0] == n_active

@@ -61,16 +61,19 @@ tr0 = init_traj(plan, 24, 24, 0, jnp.asarray(Xbar0, dtype),
                 jnp.asarray(Ubar0, dtype), dtype)
 
 vro = jax.jit(jax.vmap(lambda tr, x: solve._rollout(plan, tr, x, 0.5)[0],
-                       in_axes=(0, 0)))
+                       in_axes=(0, 0)), donate_argnums=(0,))
 vco = jax.jit(jax.vmap(lambda p_, tr: solve._compute_cost(plan, p_, tr)[0],
                        in_axes=(0, 0)))
 vlq = jax.jit(jax.vmap(lambda p_, tr: solve._lq_approx(plan, p_, tr),
-                       in_axes=(0, 0)))
-vsw = jax.jit(jax.vmap(lambda tr: solve._backward_sweep(plan, tr, 0.01)[0]))
+                       in_axes=(0, 0)), donate_argnums=(1,))
+vsw = jax.jit(jax.vmap(lambda tr: solve._backward_sweep(plan, tr, 0.01)[0]),
+              donate_argnums=(0,))
 vswp = jax.jit(jax.vmap(
-    lambda tr: solve._backward_sweep_parallel(plan, tr, 0.01)[0]))
+    lambda tr: solve._backward_sweep_parallel(plan, tr, 0.01)[0]),
+    donate_argnums=(0,))
 vlr = jax.jit(jax.vmap(
-    lambda tr: solve._linear_rollout(plan, tr, 1.0)[0]))
+    lambda tr: solve._linear_rollout(plan, tr, 1.0)[0]),
+    donate_argnums=(0,))
 
 tr_b = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape) + 0.0,
                     tr0)
@@ -79,22 +82,23 @@ pen_b = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape) + 0.0,
 x0_b = jnp.broadcast_to(x0, (B, 24)) + 0.0
 
 
-def bench(name, fn, *args):
+def bench(name, fn, *args, donated=0):
     out = fn(*args)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
     n = 5
+    t0 = time.perf_counter()
     for _ in range(n):
-        out = fn(*args)
+        out = fn(*(list(args[:donated]) + [out] + list(args[donated+1:]))) \
+            if donated is not None else fn(*args)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / n
-    print(f"{name:24s} {dt * 1e3:9.2f} ms")
+    print(f"{name:24s} {dt * 1e3:9.2f} ms", flush=True)
     return out
 
 
 tr_b = bench("rollout(vmap)", vro, tr_b, x0_b)
-bench("compute_cost", vco, pen_b, tr_b)
-tr_b = bench("lq_approx", vlq, pen_b, tr_b)
-tr_s = bench("sweep_sequential", vsw, tr_b)
-tr_p = bench("sweep_parallel", vswp, tr_b)
-bench("linear_rollout_par", vlr, tr_s)
+bench("compute_cost", vco, pen_b, tr_b, donated=None)
+tr_b = bench("lq_approx", vlq, pen_b, tr_b, donated=1)
+tr_b = bench("sweep_sequential", vsw, tr_b)
+tr_b = bench("sweep_parallel", vswp, tr_b)
+tr_b = bench("linear_rollout_par", vlr, tr_b)
