@@ -9,6 +9,9 @@ Prints ONE JSON line:
   {"metric": "hsddp_solves_per_s", "value": N, "unit": "solves/s",
    "vs_baseline": N/5000}
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+
 import json
 import os
 import sys

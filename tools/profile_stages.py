@@ -1,6 +1,9 @@
 #!/usr/bin/env python3
 """Per-stage TPU timing of the HS-DDP solve: rollout / cost / LQ /
 backward sweep (seq + parallel) / linear rollout (seq + parallel)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import os
 import time
 

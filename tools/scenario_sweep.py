@@ -7,6 +7,9 @@ visible).
 Usage:  python tools/scenario_sweep.py [--total 4096] [--chunk 256]
 Prints per-gait success statistics and aggregate throughput.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import os
 import time
