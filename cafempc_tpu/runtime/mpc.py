@@ -50,7 +50,8 @@ def _phase_key(start, end, contact):
 
 class HKDMPCRuntime:
     def __init__(self, quad_ref: QuadReference, cfg: hp.HKDConfig,
-                 opts: SolverOptions, dtype=jnp.float64):
+                 opts: SolverOptions, dtype=jnp.float64, endpoint=None):
+        self.endpoint = endpoint   # optional comms.udpm.LCMEndpoint
         self.qr = quad_ref
         self.cfg = cfg
         self.dtype = dtype
@@ -138,6 +139,7 @@ class HKDMPCRuntime:
         self.plan_np = plan_np
         self.meta = meta
         self._update_foot_placement()
+        self._publish_solver_info()
         return self.command_tape()
 
     def update(self, x_meas):
@@ -156,7 +158,22 @@ class HKDMPCRuntime:
         self.plan_np = plan_np
         self.meta = meta
         self._update_foot_placement()
+        self._publish_solver_info()
         return self.command_tape()
+
+    def _publish_solver_info(self):
+        """solver_info_lcmt telemetry (MHPCLocomotion.cpp:74-79)."""
+        if self.endpoint is None:
+            return
+        from cafempc_tpu.comms import lcm_wire as w
+        st = self.state
+        msg = w.solver_info_lcmt(
+            n_iter=int(st.info.iters), n_ls_iter=int(st.info.ls_iters),
+            n_reg_iter=int(st.info.reg_iters), solve_time=0.0,
+            cost=float(st.cost), dyn_feas=float(st.feas),
+            ineq_violation=float(st.max_pconstr),
+            eq_violation=float(st.max_tconstr))
+        self.endpoint.publish("DDP_Solver_Info", msg)
 
     # ---------------- outputs ----------------------------------------
     def _update_foot_placement(self):

@@ -134,7 +134,8 @@ class SolveResult(NamedTuple):
 
 def make_solver(fns: ProblemFns, opts: SolverOptions, *, all_shooting=True,
                 info_len=64, trim_output=False,
-                parallel_linear_rollout=True, parallel_riccati=False):
+                parallel_linear_rollout=True, parallel_riccati=False,
+                parallel_line_search=True):
     """Build the jit-ready ``solve(plan, pen, x0, Xbar0, Ubar0)`` function.
 
     all_shooting: static flag — every active knot is a shooting state (the
@@ -590,6 +591,49 @@ def make_solver(fns: ProblemFns, opts: SolverOptions, *, all_shooting=True,
             cond, body, c0)
         return tr, success, cost, feas, merit, n_it
 
+    # all backtracking candidates the sequential search could visit
+    _n_ls = 0
+    _e = 1.0
+    while _e > opts.ls_eps_min * (1.0 + 1e-12) and _n_ls < 64:
+        _n_ls += 1
+        _e *= opts.alpha
+    _n_ls = max(_n_ls, 1)
+
+    def line_search_parallel(plan, pen, tr, x0, cost0, merit0, feas0, rho,
+                             dV1, dV2):
+        """Batched-candidate line search: evaluate every eps the
+        reference's backtracking loop (MultiPhaseDDP.cpp:95-133) could
+        try in ONE vmapped rollout, then select the first accepted
+        candidate — identical accepted trajectory, O(1) sequential depth
+        instead of up to len(candidates) rollouts."""
+        dtype = tr.Xbar.dtype
+        eps_c = opts.alpha ** jnp.arange(_n_ls, dtype=dtype)
+
+        def trial(eps):
+            tr2, ok = rollout(plan, tr, x0, eps)
+            cost2, _, _ = compute_cost(plan, pen, tr2)
+            feas2 = dyn_feas(plan, tr2.Defect)
+            merit2 = cost2 + rho * feas2
+            exp_cost = eps * dV1 + 0.5 * eps * eps * dV2
+            exp_merit = exp_cost - eps * rho * feas0
+            succ = (merit2 <= merit0 + opts.gamma * exp_merit) & ok
+            return (tr2.X, tr2.U, tr2.Y, tr2.Xsim, tr2.Defect, succ,
+                    cost2, feas2, merit2)
+
+        X, U, Y, Xsim, Defect, succ, cost, feas, merit = jax.vmap(trial)(
+            eps_c)
+        any_ok = jnp.any(succ)
+        # first accepted candidate, else the last tried (the reference
+        # leaves the smallest-eps trial in the working trajectory)
+        idx = jnp.where(any_ok, jnp.argmax(succ), _n_ls - 1)
+        tr2 = tr._replace(X=X[idx], U=U[idx], Y=Y[idx], Xsim=Xsim[idx],
+                          Defect=Defect[idx])
+        n_it = jnp.where(any_ok, idx + 1, _n_ls).astype(jnp.int32)
+        return (tr2, any_ok, cost[idx], feas[idx], merit[idx], n_it)
+
+    ls_fn = line_search_parallel if parallel_line_search \
+        else line_search
+
     # ---------------- solve -------------------------------------------
     def update_nominal(tr: TrajState):
         return tr._replace(Xbar=tr.X, Ubar=tr.U, Defect_bar=tr.Defect)
@@ -624,7 +668,7 @@ def make_solver(fns: ProblemFns, opts: SolverOptions, *, all_shooting=True,
 
         def do_ls(args):
             tr_, info = args
-            tr2, ls_ok, cost2, feas2, merit2, ls_it = line_search(
+            tr2, ls_ok, cost2, feas2, merit2, ls_it = ls_fn(
                 plan, s.pen, tr_, s.x0, cost, merit, feas, rho, dV1, dV2)
             tr2 = jax.lax.cond(ls_ok, update_nominal, lambda t: t, tr2)
             cost3 = jnp.where(ls_ok, cost2, cost)
