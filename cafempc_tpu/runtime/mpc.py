@@ -44,10 +44,6 @@ class CommandTape:
     solve_info: dict
 
 
-def _phase_key(start, end, contact):
-    return (tuple(int(c) for c in contact),)
-
-
 class HKDMPCRuntime:
     def __init__(self, quad_ref: QuadReference, cfg: hp.HKDConfig,
                  opts: SolverOptions, dtype=jnp.float64, endpoint=None):
@@ -79,17 +75,13 @@ class HKDMPCRuntime:
         """Carry (Xbar, Ubar, K, dU, dX) from the previous solution onto the
         new plan by absolute-time matching inside overlapping phases."""
         if self.state is None:
-            return Xbar0, Ubar0, None
+            return Xbar0, Ubar0
         old = self.state
-        old_plan, old_meta = self.plan_np, self.meta
+        old_meta = self.meta
         old_t0 = self.mpc_time - self.dt_mpc
 
         Xb = Xbar0.copy()
         Ub = Ubar0.copy()
-        N = Ub.shape[0]
-        K = np.zeros((N, 24, 24))
-        dU = np.zeros((N, 24))
-        dX = np.zeros((N + 1, 24))
 
         # flat index of each phase's first knot, per plan
         def phase_slices(meta_):
@@ -104,9 +96,6 @@ class HKDMPCRuntime:
         new_ph = phase_slices(meta)
         oXb = np.asarray(old.traj.Xbar)
         oUb = np.asarray(old.traj.Ubar)
-        oK = np.asarray(old.traj.K)
-        odU = np.asarray(old.traj.dU)
-        odX = np.asarray(old.traj.dX)
         dt = self.cfg.dt_sim
 
         for (nts, nte, nhor, nc, nj) in new_ph:
@@ -119,13 +108,10 @@ class HKDMPCRuntime:
                         ko = int(round((t_abs - o_s) / dt))
                         if 0 <= ko <= ohor:
                             Xb[nj + k] = oXb[oj + ko]
-                            dX[nj + k] = odX[oj + ko]
                             if k < nhor and ko < ohor:
                                 Ub[nj + k] = oUb[oj + ko]
-                                K[nj + k] = oK[oj + ko]
-                                dU[nj + k] = odU[oj + ko]
                     break
-        return Xb, Ub, (K, dU, dX)
+        return Xb, Ub
 
     # ---------------- MPC steps --------------------------------------
     def initialize(self, x0):
@@ -147,13 +133,12 @@ class HKDMPCRuntime:
         self.qr.step(self.dt_mpc)
         self.mpc_time += self.dt_mpc
         plan_np, pen_np, Xbar0, Ubar0, meta = self._build()
-        Xb, Ub, warm = self._warm_start(plan_np, meta, Xbar0, Ubar0)
+        Xb, Ub = self._warm_start(plan_np, meta, Xbar0, Ubar0)
         plan = host_plan_to_device(plan_np, self.dtype)
         pen = hp.pen_to_device(pen_np, self.dtype)
         s = self.solve_rt(plan, pen, jnp.asarray(x_meas, self.dtype),
                           jnp.asarray(Xb, self.dtype),
                           jnp.asarray(Ub, self.dtype))
-        # carry the warm-start gains into the stored state for the tape
         self.state = jax.block_until_ready(s)
         self.plan_np = plan_np
         self.meta = meta

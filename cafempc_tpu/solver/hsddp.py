@@ -96,11 +96,6 @@ class SolverState(NamedTuple):
     info: SolverInfo
 
 
-def _bmm(a, b):
-    return jnp.einsum("...ij,...jk->...jk" if False else "...ij,...jk->...ik",
-                      a, b)
-
-
 def init_traj(plan: KnotPlan, xs, us, ys, Xbar0, Ubar0, dtype):
     N = plan.n_steps
     z = functools.partial(jnp.zeros, dtype=dtype)
