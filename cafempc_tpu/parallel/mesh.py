@@ -22,7 +22,8 @@ from cafempc_tpu.solver.hsddp import make_solver
 
 
 def make_batched_solver(fns, opts, *, all_shooting=True, mesh=None,
-                        axis_name="scenario", trim_output=False):
+                        axis_name="scenario", trim_output=False,
+                        **solver_kwargs):
     """Returns solve_batch(plan, pen_b, x0_b, Xbar_b, Ubar_b).
 
     plan is shared (replicated) across scenarios; pen/x0/Xbar/Ubar carry a
@@ -30,7 +31,7 @@ def make_batched_solver(fns, opts, *, all_shooting=True, mesh=None,
     over it with shard_map; otherwise plain vmap.
     """
     solve = make_solver(fns, opts, all_shooting=all_shooting,
-                        trim_output=trim_output)
+                        trim_output=trim_output, **solver_kwargs)
     vsolve = jax.vmap(solve, in_axes=(None, 0, 0, 0, 0))
 
     if mesh is None:
