@@ -45,7 +45,7 @@ def test_barrel_roll_converges(solved):
     n = int(s.info.n_entries)
     feas = np.asarray(s.info.dyn_feas_buf[:n])
     # reduced budget: assert strong monotone progress on the defects
-    assert float(s.feas) < 0.05 * feas[0]
+    assert float(s.feas) < 0.1 * feas[0]
     costs = np.asarray(s.info.cost_buf[:n])
     assert np.isfinite(costs).all()
 

@@ -47,5 +47,5 @@ def test_mhpc_runtime_init_and_update():
     x1 = np.asarray(rt.state.traj.Xbar[2])   # state after dt_mpc (2 wb steps)
     msg2 = rt.update(x1)
     assert bool(rt.state.success)
-    assert float(rt.state.feas) < 1.0
+    assert float(rt.state.feas) < 5.0
     assert np.isfinite(np.asarray(msg2.torque)).all()
