@@ -89,7 +89,9 @@ def main():
     Xb_b = jnp.broadcast_to(jnp.asarray(Xbar0, dtype), (B,) + Xbar0.shape)
     Ub_b = jnp.broadcast_to(jnp.asarray(Ubar0, dtype), (B,) + Ubar0.shape)
 
-    solve_b = make_batched_solver(hp.make_hkd_fns(), opts, trim_output=True)
+    seq_ls = os.environ.get("BENCH_SEQ_LS", "1") == "1"
+    solve_b = make_batched_solver(hp.make_hkd_fns(), opts, trim_output=True,
+                                  parallel_line_search=not seq_ls)
 
     # warmup / compile
     s = solve_b(plan, pen_b, x0_b, Xb_b, Ub_b)
