@@ -87,3 +87,37 @@ def test_hkd_solve_on_generated_trot():
     n = int(s.info.n_entries)
     costs = np.asarray(s.info.cost_buf[:n])
     assert costs[-1] < costs[1]
+
+
+def test_barrel_roll_reference_generation():
+    """Acrobatic generator (barrel_roll.py analogue): ballistic flight,
+    full roll, csv round-trip."""
+    from cafempc_tpu.reference.acrobatic import (
+        generate_barrel_roll_reference, projectile_z, projectile_vz)
+    d = generate_barrel_roll_reference(pre_stance=0.3, flight=0.4,
+                                       post_stance=0.3)
+    # apex height matches the ballistic profile
+    assert abs(projectile_z(0.4, 0.2) - 9.81 * 0.16 / 8) < 1e-12
+    # roll completes 2*pi
+    eul = d.body_state[:, 3:6]
+    assert abs(eul[-1, 2] - 2 * np.pi) < 1e-9
+    # contact schedule: stance / fly / stance
+    assert d.contact[0].sum() == 4
+    mid = int(0.5 / d.dt)
+    assert d.contact[mid].sum() == 0
+    assert d.contact[-1].sum() == 4
+    # flight dynamics consistent: vz is the derivative of z
+    t0 = int(round(0.3 / d.dt))
+    tf = np.arange(0, 0.4, d.dt)
+    z = np.array([projectile_z(0.4, x) for x in tf])
+    vz_fd = np.gradient(z, d.dt)
+    vz = np.array([projectile_vz(0.4, x) for x in tf])
+    assert np.abs(vz[1:-1] - vz_fd[1:-1]).max() < 0.2
+    # csv round trip
+    p = tempfile.mktemp(suffix=".csv")
+    try:
+        write_quad_reference_csv(d, p)
+        d2 = load_quad_reference(p)
+        assert np.array_equal(d2.contact, d.contact)
+    finally:
+        os.remove(p)
