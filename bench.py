@@ -90,8 +90,10 @@ def main():
     Ub_b = jnp.broadcast_to(jnp.asarray(Ubar0, dtype), (B,) + Ubar0.shape)
 
     seq_ls = os.environ.get("BENCH_SEQ_LS", "1") == "1"
+    fused = os.environ.get("BENCH_FUSED", "0") == "1"
     solve_b = make_batched_solver(hp.make_hkd_fns(), opts, trim_output=True,
-                                  parallel_line_search=not seq_ls)
+                                  parallel_line_search=not seq_ls,
+                                  fused_riccati=fused)
 
     # warmup / compile
     s = solve_b(plan, pen_b, x0_b, Xb_b, Ub_b)

@@ -1,0 +1,102 @@
+"""Bridge between the per-scenario solver and the lane-batched fused
+backward-sweep kernel.
+
+`sweep_op` is a jax.custom_batching.custom_vmap operation:
+  * called un-batched (single-scenario MPC, CPU tests), it runs a compact
+    sequential recursion with identical semantics;
+  * under `vmap` (the batched scenario engine), it transposes the
+    batch-leading operands to the kernel's lane-minor layout, pads the
+    batch to a lane multiple, and invokes ops/fused_sweep.py.
+"""
+import jax
+import jax.numpy as jnp
+from jax import custom_batching
+
+from cafempc_tpu.ops.fused_sweep import fused_backward_sweep
+
+
+@custom_batching.custom_vmap
+def sweep_op(A, B, lx, lu, lxx, luu, lux, phix, phixx, defect, w, reg):
+    """Backward sweep for ONE scenario.  Shapes: A [N,xs,xs], B [N,xs,us],
+    lx [N,xs], ..., phix [N+1,xs], defect [N+1,xs], w [N] int32, reg
+    scalar.  Returns (G [N,xs], H, K, dU, Qu, Quu, Qux, ok [], dv [2])."""
+    xs = A.shape[1]
+    us = B.shape[2]
+    I_u = jnp.eye(us, dtype=A.dtype)
+
+    def step(carry, inp):
+        G1, H1, ok, dv1, dv2 = carry
+        (Ak, Bk, lxk, luk, lxxk, luuk, luxk, phx, phxx, dft, wk) = inp
+        Gn = G1 + H1 @ dft
+        G_tr = phx + Ak.T @ Gn
+        H_tr = phxx + Ak.T @ H1 @ Ak
+        Qx = lxk + Ak.T @ Gn
+        Qu = luk + Bk.T @ Gn
+        Qxx = lxxk + Ak.T @ H1 @ Ak + reg * jnp.eye(xs, dtype=A.dtype)
+        Qxx = 0.5 * (Qxx + Qxx.T)
+        Quu = luuk + Bk.T @ H1 @ Bk + reg * I_u
+        Qux = luxk + Bk.T @ H1 @ Ak
+        L = jnp.linalg.cholesky(Quu - 1e-9 * I_u)
+        ok_k = jnp.all(jnp.isfinite(L))
+        L_safe = jnp.where(ok_k, L, I_u)
+        Quu_inv = jax.scipy.linalg.cho_solve((L_safe, True), I_u)
+        dU = -Quu_inv @ Qu
+        K = -Quu_inv @ Qux
+        G_dyn = Qx + Qux.T @ dU
+        H_dyn = Qxx + Qux.T @ K
+        H_dyn = 0.5 * (H_dyn + H_dyn.T)
+        wf = (wk > 0)
+        G0 = jnp.where(wf, G_tr, G_dyn)
+        H0 = jnp.where(wf, H_tr, H_dyn)
+        z = jnp.where(wf, 0.0, 1.0).astype(A.dtype)
+        dv_k = (Qu @ dU) * z
+        out = (G0, H0, jnp.where(wf, jnp.zeros_like(K), K),
+               jnp.where(wf, jnp.zeros_like(dU), dU),
+               jnp.where(wf, jnp.zeros_like(Qu), Qu),
+               jnp.where(wf, I_u, Quu),
+               jnp.where(wf, jnp.zeros_like(Qux), Qux))
+        return (G0, H0, ok & (ok_k | wf), dv1 + dv_k, dv2 - dv_k), out
+
+    zero = jnp.zeros((), A.dtype)
+    inp = (A, B, lx, lu, lxx, luu, lux, phix[:-1], phixx[:-1], defect[1:],
+           w)
+    (G0, H0, ok, dv1, dv2), (G, H, K, dU, Qu, Quu, Qux) = jax.lax.scan(
+        step, (phix[-1], phixx[-1], jnp.bool_(True), zero, zero), inp,
+        reverse=True)
+    dv = jnp.stack([dv1, dv2])
+    return G, H, K, dU, Qu, Quu, Qux, ok.astype(A.dtype), dv
+
+
+@sweep_op.def_vmap
+def _sweep_op_vmap(axis_size, in_batched, A, B, lx, lu, lxx, luu, lux,
+                   phix, phixx, defect, w, reg):
+    (Ab, Bb, lxb, lub, lxxb, luub, luxb, phixb, phixxb, defectb, wb,
+     regb) = in_batched
+    assert not wb and not regb, "plan flags/reg must be unbatched"
+
+    Bsz = axis_size
+    pad = (-Bsz) % 128
+    L = Bsz + pad
+
+    def lane(x, batched):
+        if not batched:
+            x = jnp.broadcast_to(x[None], (Bsz,) + x.shape)
+        x = jnp.moveaxis(x, 0, -1)
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.repeat(x[..., :1], pad, axis=-1)], axis=-1)
+        return x
+
+    out = fused_backward_sweep(
+        lane(A, Ab), lane(B, Bb), lane(lx, lxb), lane(lu, lub),
+        lane(lxx, lxxb), lane(luu, luub), lane(lux, luxb),
+        lane(phix, phixb), lane(phixx, phixxb), lane(defect, defectb),
+        w, reg)
+    G, H, K, dU, Qu, Quu, Qux, ok, dv = out
+
+    def unlane(x):
+        return jnp.moveaxis(x[..., :Bsz], -1, 0)
+
+    res = (unlane(G), unlane(H), unlane(K), unlane(dU), unlane(Qu),
+           unlane(Quu), unlane(Qux), ok[0, :Bsz], unlane(dv))
+    return res, tuple([True] * 9)

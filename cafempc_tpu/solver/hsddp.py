@@ -130,7 +130,7 @@ class SolveResult(NamedTuple):
 def make_solver(fns: ProblemFns, opts: SolverOptions, *, all_shooting=True,
                 info_len=64, trim_output=False,
                 parallel_linear_rollout=True, parallel_riccati=False,
-                parallel_line_search=True):
+                parallel_line_search=True, fused_riccati=False):
     """Build the jit-ready ``solve(plan, pen, x0, Xbar0, Ubar0)`` function.
 
     all_shooting: static flag — every active knot is a shooting state (the
@@ -460,8 +460,40 @@ def make_solver(fns: ProblemFns, opts: SolverOptions, *, all_shooting=True,
         tr = tr._replace(G=G, H=H, K=K, dU=dU, Qu=Qu, Quu=Quu, Qux=Qux)
         return tr, dV1, dV2, ok
 
-    sweep_fn = backward_sweep_parallel if parallel_riccati \
-        else backward_sweep
+    def backward_sweep_fused(plan, tr: TrajState, reg):
+        """Backward sweep via the fused lane-batched Pallas kernel
+        (ops/fused_sweep.py, ~20x the lax.scan sweep on TPU).  Per-sample
+        calls fall back to a sequential recursion; under the scenario vmap
+        the custom_vmap rule dispatches the batched kernel
+        (ops/sweep_bridge.py).  reg is folded into the cost Hessians
+        up-front so per-scenario regularization schedules batch."""
+        from cafempc_tpu.ops.sweep_bridge import sweep_op
+        sd = plan.step
+        xs = tr.Xbar.shape[-1]
+        us = tr.Ubar.shape[-1]
+        I_x = jnp.eye(xs, dtype=tr.Xbar.dtype)
+        I_u = jnp.eye(us, dtype=tr.Xbar.dtype)
+        lx = tr.lx + jnp.einsum("kij,ki->kj", tr.C, tr.ly)
+        lu = tr.lu + jnp.einsum("kij,ki->kj", tr.D, tr.ly)
+        lxx = tr.lxx + jnp.einsum("kji,kjl,klm->kim", tr.C, tr.lyy, tr.C) \
+            + reg * I_x
+        luu = tr.luu + jnp.einsum("kji,kjl,klm->kim", tr.D, tr.lyy, tr.D) \
+            + reg * I_u
+        lux = tr.lux + jnp.einsum("kji,kjl,klm->kim", tr.D, tr.lyy, tr.C)
+        w = ((sd.is_reset > 0) | (sd.active == 0)).astype(jnp.int32)
+        G_s, H_s, K, dU, Qu, Quu, Qux, ok_f, dv = sweep_op(
+            tr.A, tr.B, lx, lu, lxx, luu, lux, tr.phix, tr.phixx,
+            tr.Defect, w, jnp.zeros((), tr.Xbar.dtype))
+        G = jnp.concatenate([G_s, tr.phix[-1:]], axis=0)
+        H = jnp.concatenate([H_s, tr.phixx[-1:]], axis=0)
+        G = G.at[0].add(H[0] @ tr.Defect[0])
+        ok = (ok_f > 0.5) & jnp.all(jnp.isfinite(H))
+        tr = tr._replace(G=G, H=H, K=K, dU=dU, Qu=Qu, Quu=Quu, Qux=Qux)
+        return tr, dv[0], dv[1], ok
+
+    sweep_fn = (backward_sweep_fused if fused_riccati
+                else backward_sweep_parallel if parallel_riccati
+                else backward_sweep)
 
     def backward_sweep_regularized(plan, tr, reg0):
         """(MultiPhaseDDP.cpp:136-165)."""
