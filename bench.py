@@ -45,7 +45,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 from cafempc_tpu.models import hkd
 from cafempc_tpu.problems import hkd_problem as hp
 from cafempc_tpu.reference.quad_reference import (QuadReference,
-                                                  load_quad_reference)
+                                                  load_quad_reference,
+                                                  wb_state_ref_at)
 from cafempc_tpu.solver.options import load_solver_options
 from cafempc_tpu.solver.plan import host_plan_to_device
 from cafempc_tpu.parallel.mesh import make_batched_solver
@@ -54,12 +55,9 @@ REF_DATA = "/root/reference/Reference/Data"
 REF_SETTINGS = "/root/reference/HKDMPC/settings"
 
 
-def main():
-    B = int(os.environ.get("BENCH_BATCH", "256"))
-    iters = int(os.environ.get("BENCH_ITERS", "5"))
-    dtype = jnp.float32
+def build_hkd(dtype):
+    """Config 1 (headline): HKD-MPC bound, ~100-knot horizon."""
     plan_dur = 1.0   # ~100 dynamics knots @ dt 0.01 + reset steps
-
     ref = load_quad_reference(f"{REF_DATA}/bound/quad_reference.csv",
                               reorder=True)
     qr = QuadReference(ref)
@@ -82,16 +80,56 @@ def main():
         jnp.asarray(qJ, dtype),
         jnp.asarray(meta["phases"][0][3], dtype))
     x0 = np.concatenate([body, np.asarray(qdummy)]).astype(np.float32)
+    return (hp.make_hkd_fns(), opts, plan, pen, x0, Xbar0, Ubar0,
+            "hsddp_solves_per_s")
+
+
+def build_mhpc(dtype):
+    """Config 2: MHPC cascaded WB (25 knots, 36-state) + SRB tail
+    (10 knots), runtime iteration caps (MHPC/settings/ddp_setting.info +
+    MHPCLocomotion.cpp:86-87)."""
+    from cafempc_tpu.problems import mhpc_problem as mp
+    ref = load_quad_reference(f"{REF_DATA}/bound/quad_reference.csv")
+    qr = QuadReference(ref)
+    qr.initialize(0.75)
+    cfg = mp.load_mhpc_config("/root/reference/MHPC/settings/mhpc_config.info")
+    cfg = mp.load_cost_weights(
+        "/root/reference/MHPC/settings/cost_weights_regular.JSON", cfg)
+    cfg = mp.load_constraint_params(
+        "/root/reference/MHPC/settings/constraint_params_regular.info", cfg)
+    plan_np, pen_np, Xbar0, Ubar0, meta = mp.build_mhpc_plan(qr, cfg)
+    plan = host_plan_to_device(plan_np, dtype=dtype)
+    pen = jax.tree.map(lambda a: jnp.asarray(np.asarray(a), dtype), pen_np)
+    opts = load_solver_options(
+        "/root/reference/MHPC/settings/ddp_setting.info")
+    opts = dataclasses.replace(opts, max_AL_iter=4, max_DDP_iter=1)
+    x0 = np.asarray(wb_state_ref_at(qr, 0.0), dtype=np.float32)
+    return (mp.make_mhpc_fns(cfg), opts, plan, pen, x0, Xbar0, Ubar0,
+            "mhpc_cascaded_solves_per_s")
+
+
+def main():
+    B = int(os.environ.get("BENCH_BATCH", "256"))
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
+    config = os.environ.get("BENCH_CONFIG", "hkd")
+    dtype = jnp.float32
+
+    builders = {"hkd": build_hkd, "mhpc": build_mhpc}
+    if config not in builders:
+        raise SystemExit(f"BENCH_CONFIG must be one of {list(builders)}, "
+                         f"got {config!r}")
+    fns, opts, plan, pen, x0, Xbar0, Ubar0, metric = builders[config](dtype)
 
     rng = np.random.default_rng(0)
-    x0_b = jnp.asarray(x0[None] + rng.normal(0, 0.01, (B, 24)), dtype)
+    x0_b = jnp.asarray(x0[None] + rng.normal(0, 0.01, (B, x0.shape[-1])),
+                       dtype)
     pen_b = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), pen)
     Xb_b = jnp.broadcast_to(jnp.asarray(Xbar0, dtype), (B,) + Xbar0.shape)
     Ub_b = jnp.broadcast_to(jnp.asarray(Ubar0, dtype), (B,) + Ubar0.shape)
 
     seq_ls = os.environ.get("BENCH_SEQ_LS", "1") == "1"
-    fused = os.environ.get("BENCH_FUSED", "0") == "1"
-    solve_b = make_batched_solver(hp.make_hkd_fns(), opts, trim_output=True,
+    fused = os.environ.get("BENCH_FUSED", "1") == "1"
+    solve_b = make_batched_solver(fns, opts, trim_output=True,
                                   parallel_line_search=not seq_ls,
                                   fused_riccati=fused)
 
@@ -107,7 +145,7 @@ def main():
 
     solves_per_s = B / dt
     print(json.dumps({
-        "metric": "hsddp_solves_per_s",
+        "metric": metric,
         "value": round(solves_per_s, 2),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / 5000.0, 4),

@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 
 from cafempc_tpu.utils.rotations import (
-    eul_to_rot, euldrate_to_omega_mat, omega_to_euldrate_mat, skew)
+    eul_to_rot, euldrate_to_omega_mat, omega_to_euldrate_mat, rotx, roty,
+    rotz, skew)
 
 XS = 24
 US = 24
@@ -130,10 +131,99 @@ def dynamics(x, u, dt, contact):
     return x + dt * dynamics_continuous(x, u, contact)
 
 
-def dynamics_partials(x, u, dt, contact):
-    """A = dxnext/dx, B = dxnext/du (reference `hkinodyn_par`)."""
+def dynamics_partials_ad(x, u, dt, contact):
+    """A = dxnext/dx, B = dxnext/du via jacfwd (48 tangents)."""
     A = jax.jacfwd(dynamics, argnums=0)(x, u, dt, contact)
     B = jax.jacfwd(dynamics, argnums=1)(x, u, dt, contact)
+    return A, B
+
+
+def dynamics_partials(x, u, dt, contact):
+    """A = dxnext/dx, B = dxnext/du in closed form (reference
+    `hkinodyn_par`): the forward-Euler HKD Jacobian assembled from
+    analytic blocks instead of a 48-tangent jacfwd — ~20x fewer flops
+    and far fewer small ops in the batched LQ stage.  Verified against
+    `dynamics_partials_ad` to machine precision (tests/test_hkd_model.py).
+    """
+    dtype = x.dtype
+    eul, pos = x[0:3], x[3:6]
+    omega = x[6:9]
+    qdummy = x[12:24]
+    grf = u[0:12]
+    f = grf.reshape(4, 3) * contact[:, None]
+
+    yaw, pitch, roll = eul[0], eul[1], eul[2]
+    sp, cp = jnp.sin(pitch), jnp.cos(pitch)
+    sr, cr = jnp.sin(roll), jnp.cos(roll)
+    z = jnp.zeros((), dtype)
+
+    # --- euld = W(eul) @ omega -------------------------------------
+    W = omega_to_euldrate_mat(eul)
+    cp2 = cp * cp
+    dW_dp = jnp.array([[0.0, 0.0, 0.0]] * 3, dtype).at[0, 1].set(
+        sr * sp / cp2).at[0, 2].set(cr * sp / cp2) \
+        .at[2, 1].set(sr / cp2).at[2, 2].set(cr / cp2)
+    dW_dr = jnp.zeros((3, 3), dtype) \
+        .at[0, 1].set(cr / cp).at[0, 2].set(-sr / cp) \
+        .at[1, 1].set(-sr).at[1, 2].set(-cr) \
+        .at[2, 1].set(sp * cr / cp).at[2, 2].set(-sp * sr / cp)
+    deuld_deul = jnp.stack(
+        [jnp.zeros(3, dtype), dW_dp @ omega, dW_dr @ omega], axis=1)
+
+    # --- omega_dot = Iinv (R^T tau_w - omega x (I omega)) ----------
+    Rz, Ry, Rx = rotz(yaw), roty(pitch), rotx(roll)
+    R = Rz @ Ry @ Rx
+    ez = jnp.array([0.0, 0.0, 1.0], dtype)
+    ey = jnp.array([0.0, 1.0, 0.0], dtype)
+    ex = jnp.array([1.0, 0.0, 0.0], dtype)
+    dR_dy = skew(ez) @ R
+    dR_dp = Rz @ skew(ey) @ Ry @ Rx
+    dR_dr = Rz @ Ry @ skew(ex) @ Rx
+
+    p_feet = qdummy.reshape(4, 3)
+    p_arm = p_feet * jnp.array([1.0, 1.0, 0.0], dtype)
+    arms = p_arm - pos[None, :]
+    tau_w = jnp.cross(arms, f).sum(axis=0)
+    Iinv = 1.0 / INERTIA_DIAG.astype(dtype)
+
+    dwd_deul = Iinv[:, None] * jnp.stack(
+        [dR_dy.T @ tau_w, dR_dp.T @ tau_w, dR_dr.T @ tau_w], axis=1)
+    f_tot = f.sum(axis=0)
+    RT = R.T
+    dwd_dpos = Iinv[:, None] * (RT @ skew(f_tot))
+    Iw = INERTIA_DIAG.astype(dtype) * omega
+    dwd_domega = Iinv[:, None] * (skew(Iw)
+                                  - skew(omega) * INERTIA_DIAG[None, :])
+    # per-leg qdummy block: Iinv RT (-skew(f_l)) diag(1,1,0)
+    sk_f = skew(f)                                   # [4,3,3]
+    dwd_dqd = -jnp.einsum("ij,ljk->ilk", RT, sk_f) \
+        * jnp.array([1.0, 1.0, 0.0], dtype)[None, None, :]
+    dwd_dqd = (Iinv[:, None, None] * dwd_dqd).reshape(3, 12)
+    # per-leg grf block: Iinv RT skew(arm_l) * contact_l
+    dwd_dgrf = jnp.einsum("ij,ljk->ilk", RT, skew(arms)) \
+        * contact[None, :, None]
+    dwd_dgrf = (Iinv[:, None, None] * dwd_dgrf).reshape(3, 12)
+
+    # --- assemble continuous-time Jacobians ------------------------
+    I3 = jnp.eye(3, dtype=dtype)
+    Fx = jnp.zeros((24, 24), dtype)
+    Fx = Fx.at[0:3, 0:3].set(deuld_deul)
+    Fx = Fx.at[0:3, 6:9].set(W)
+    Fx = Fx.at[3:6, 9:12].set(I3)
+    Fx = Fx.at[6:9, 0:3].set(dwd_deul)
+    Fx = Fx.at[6:9, 3:6].set(dwd_dpos)
+    Fx = Fx.at[6:9, 6:9].set(dwd_domega)
+    Fx = Fx.at[6:9, 12:24].set(dwd_dqd)
+
+    Fu = jnp.zeros((24, 24), dtype)
+    Fu = Fu.at[6:9, 0:12].set(dwd_dgrf)
+    Fu = Fu.at[9:12, 0:12].set(jnp.kron(
+        contact[None, :], I3).reshape(3, 12) / MASS)
+    swing = 1.0 - jnp.repeat(contact, 3)
+    Fu = Fu.at[12:24, 12:24].set(jnp.diag(swing))
+
+    A = jnp.eye(24, dtype=dtype) + dt * Fx
+    B = dt * Fu
     return A, B
 
 

@@ -25,6 +25,9 @@ NV = 18
 
 DEFAULT_URDF = \
     "/root/reference/urdf/mini_cheetah_simple_correctedInertia.urdf"
+# Second supported robot (gen_regular_arcdog.py / BASELINE config 5)
+ARCDOG_URDF = \
+    "/root/reference/urdf/arcdog_simple_correctedInertia.urdf"
 
 
 @functools.lru_cache(maxsize=4)

@@ -1,18 +1,26 @@
-"""Acrobatic reference generation: in-place barrel roll.
+"""Acrobatic reference generation: in-place barrel roll + running jump.
 
-Re-implementation of the reference's acrobatic generators
-(scripts/Reference_python/barrel_roll.py + gen_barrel.py): the CoM follows
-a ballistic arc during flight (projectile_pos/vel, utils.py:16-26), the
-roll angle ramps 0 -> 2*pi across the flight window, legs tuck at a fixed
-joint posture, and the schedule is stance -> flight -> stance.
+Re-implementation of the reference's acrobatic generators:
+  * barrel roll (scripts/Reference_python/barrel_roll.py + gen_barrel.py):
+    the CoM follows a ballistic arc during flight (projectile_pos/vel,
+    utils.py:16-26), the roll angle ramps 0 -> 2*pi across the flight
+    window, legs tuck at a fixed joint posture, and the schedule is
+    stance -> flight -> stance.
+  * running jump (gen_run_jump.py): the regular-gait pipeline with a
+    composed mode schedule — bounding with one "jump" gait spliced in (a
+    bound period with a stretched second flight window).
 
 Produces QuadReferenceData in the same record layout as the regular-gait
 generator, writable via reference.generator.write_quad_reference_csv.
 """
+import copy
+
 import numpy as np
 
+from cafempc_tpu.reference import gait as gait_mod
 from cafempc_tpu.reference.generator import (DEFAULT_FOOTHOLDS, TOTAL_MASS,
-                                             G, make_leg_ik)
+                                             G, generate_reference,
+                                             make_leg_ik)
 from cafempc_tpu.reference.quad_reference import QuadReferenceData
 
 import jax.numpy as jnp
@@ -93,3 +101,27 @@ def generate_barrel_roll_reference(pre_stance=0.5, flight=0.45,
 
     return QuadReferenceData(
         dt=dt, **{k: np.asarray(v) for k, v in recs.items()})
+
+
+def generate_run_jump_reference(n_bounds_before=6, n_bounds_after=8,
+                                jump_times=(0.0, 0.10, 0.20, 0.40, 0.75),
+                                vx=1.0, vy=0.0, z_des=0.24,
+                                swing_height=0.12, dt=0.01,
+                                transition_time=2.5, model=None):
+    """Running jump (gen_run_jump.py:20-48): bound approach, one bound
+    period with a stretched second flight (the jump), landing stance,
+    bound run-out.  CoM z stays at z_des — the MPC realizes the jump."""
+    bound = gait_mod.GAITS["bound"]
+    jump = copy.copy(bound)
+    jump.switching_times = np.asarray(jump_times, dtype=float)
+    end_gait = copy.copy(gait_mod.GAITS["stance"])
+    end_gait.switching_times = np.array([0.0, 0.15])
+    gaits = ([gait_mod.GAITS["stance"]]
+             + [bound] * n_bounds_before
+             + [jump, end_gait]
+             + [bound] * n_bounds_after
+             + [end_gait])
+    schedule = gait_mod.build_schedule_from_gaits(gaits)
+    return generate_reference(
+        vx=vx, vy=vy, z_des=z_des, swing_height=swing_height, dt=dt,
+        transition_time=transition_time, model=model, schedule=schedule)

@@ -93,11 +93,21 @@ def make_leg_ik(model=None):
 def generate_reference(gait_name="trot", duration=10.0, vx=0.5, vy=0.0,
                        z_des=0.24, swing_height=0.06, dt=0.01,
                        transition_time=2.5, initial_stance=0.05,
-                       end_stance=0.15, model=None):
-    """Build a QuadReferenceData for a regular gait (gen_regular.py)."""
-    g = gait_mod.GAITS[gait_name]
-    contacts, times = gait_mod.build_mode_schedule(
-        g, duration, initial_stance, end_stance)
+                       end_stance=0.15, model=None, schedule=None):
+    """Build a QuadReferenceData for a regular gait (gen_regular.py).
+
+    schedule: optional explicit (contacts, switching_times) mode schedule
+    (gait.build_schedule_from_gaits) overriding the periodic gait — the
+    composed-schedule path of gen_run_jump.py.
+    """
+    if schedule is not None:
+        contacts, times = schedule
+        duration = float(times[-1])
+        end_stance = 0.0
+    else:
+        g = gait_mod.GAITS[gait_name]
+        contacts, times = gait_mod.build_mode_schedule(
+            g, duration, initial_stance, end_stance)
     com = CoMPlan([0.0, 0.0, z_des], [vx, vy], z_des, transition_time)
 
     # footholds per leg-mode interval (foothold_plan.py:20-60)
@@ -128,6 +138,10 @@ def generate_reference(gait_name="trot", duration=10.0, vx=0.5, vy=0.0,
                 return i
         return len(iv) - 1
 
+    # total mass for the nominal stance GRF: from the robot model when
+    # one is passed (arcdog vs mini-cheetah), else the mini-cheetah value
+    total_mass = (float(np.asarray(model.mass).sum())
+                  if model is not None else TOTAL_MASS)
     ik = make_leg_ik(model)
     N = int(round((times[-1]) / dt)) + 1
     T = min(N, int(round(duration / dt)) + 1 + int(round(end_stance / dt)))
@@ -161,7 +175,7 @@ def generate_reference(gait_name="trot", duration=10.0, vx=0.5, vy=0.0,
         grf = np.zeros(12)
         for l in range(4):
             if c[l]:
-                grf[3 * l + 2] = TOTAL_MASS * G / n_st
+                grf[3 * l + 2] = total_mass * G / n_st
         qJ = ik(jnp.asarray(pos), jnp.zeros(3), jnp.asarray(pf), qJ_prev)
         qJ_prev = qJ
         recs["body_state"].append(np.concatenate([pos, np.zeros(3), vel,

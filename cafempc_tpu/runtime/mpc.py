@@ -183,6 +183,92 @@ class HKDMPCRuntime:
             if i >= 4:
                 break
 
+    def command_message(self, solve_time=0.0):
+        """Encode the tape as hkd_command_lcmt (publish_mpc_cmd,
+        HKDMPC.cpp:243-298).  The schema carries fixed 10-step arrays;
+        shorter tapes pad by repeating the final step."""
+        from cafempc_tpu.comms import lcm_wire as w
+        tape = self.command_tape(n_steps=10)
+        n = min(len(tape.times), 10)
+
+        def pad(a, shape):
+            out = np.zeros(shape, dtype=float)
+            out[:n] = np.asarray(a)[:n]
+            if 0 < n < shape[0]:
+                out[n:] = out[n - 1]
+            return out
+
+        msg = w.hkd_command_lcmt(N_mpcsteps=n)
+        msg.mpc_times = pad(tape.times, (10,))
+        msg.hkd_controls = pad(tape.controls, (10, 24))
+        msg.des_body_state = pad(tape.des_body_state, (10, 12))
+        msg.contacts = pad(tape.contacts, (10, 4)).astype(np.int32)
+        msg.statusTimes = pad(tape.status_times, (10, 4))
+        msg.foot_placement = tape.foot_placements
+        msg.feedback = pad(tape.feedback, (10, 12, 12))
+        msg.solve_time = solve_time
+        return msg
+
+    # ---------------- LCM server loop --------------------------------
+    def serve(self, endpoint, data_channel="mpc_data",
+              cmd_channel="mpc_command", max_msgs=None):
+        """Blocking MPC service over the wire (HKDMPCSolver::run +
+        mpcdata_lcm_handler, HKDMPC.cpp:169-205): consume hkd_data_lcmt,
+        re-solve, publish hkd_command_lcmt.  States that arrive while a
+        solve is in flight are superseded — only the newest pending state
+        is solved (the reference's detached-thread + mutex achieves the
+        same "latest state wins" behavior).  `max_msgs` bounds the number
+        of solves for tests/demos; None = run forever."""
+        import time as _time
+        from cafempc_tpu.comms import lcm_wire as w
+        if not hasattr(self, "_n_served"):
+            self._n_served = 0
+        pending = getattr(self, "_serve_pending", None)
+        if pending is None:
+            pending = self._serve_pending = []
+
+        def solve_one(msg):
+            t0 = _time.perf_counter()
+            eul = np.asarray(msg.rpy, dtype=float)[::-1]  # yaw,pitch,roll
+            body = np.concatenate([
+                eul, np.asarray(msg.p, dtype=float),
+                np.asarray(msg.omegaBody, dtype=float),
+                np.asarray(msg.vWorld, dtype=float)])
+            qdummy = hkd.compute_hkd_state(
+                jnp.asarray(body[0:3], self.dtype),
+                jnp.asarray(body[3:6], self.dtype),
+                jnp.asarray(np.asarray(msg.qJ, dtype=float), self.dtype),
+                jnp.asarray(np.asarray(msg.contact, dtype=float),
+                            self.dtype))
+            x = np.concatenate([body, np.asarray(qdummy)])
+            if msg.reset_mpc or self.state is None:
+                self.initialize(x)
+            else:
+                self.update(x)
+            cmd = self.command_message(
+                solve_time=_time.perf_counter() - t0)
+            endpoint.publish(cmd_channel, cmd)
+
+        subs = getattr(self, "_serve_subs", None)
+        if subs is None:
+            subs = self._serve_subs = set()
+        key = (id(endpoint), data_channel)
+        if key not in subs:
+            endpoint.subscribe(data_channel, w.hkd_data_lcmt,
+                               lambda _c, m: pending.append(m))
+            subs.add(key)
+        start = self._n_served
+        while max_msgs is None or self._n_served - start < max_msgs:
+            endpoint.handle(timeout=0.25)
+            while endpoint.handle(timeout=0.0):   # drain the queue
+                pass
+            if pending:
+                msg = pending[-1]
+                pending.clear()
+                solve_one(msg)
+                self._n_served += 1
+        return self._n_served - start
+
     def command_tape(self, n_steps=None):
         cfg = self.cfg
         n = n_steps or (cfg.nsteps_between_mpc + 7)  # HKDMPC.cpp:245-246

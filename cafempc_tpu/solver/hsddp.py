@@ -130,7 +130,8 @@ class SolveResult(NamedTuple):
 def make_solver(fns: ProblemFns, opts: SolverOptions, *, all_shooting=True,
                 info_len=64, trim_output=False,
                 parallel_linear_rollout=True, parallel_riccati=False,
-                parallel_line_search=True, fused_riccati=False):
+                parallel_line_search=True, fused_riccati=False,
+                fused_linroll=None):
     """Build the jit-ready ``solve(plan, pen, x0, Xbar0, Ubar0)`` function.
 
     all_shooting: static flag — every active knot is a shooting state (the
@@ -517,6 +518,41 @@ def make_solver(fns: ProblemFns, opts: SolverOptions, *, all_shooting=True,
         return tr, reg, ok, dV1, dV2, n_it
 
     # ---------------- linear rollout ----------------------------------
+    def _lin_dV(plan, tr: TrajState, dX, eps):
+        """Expected cost change along the search direction (shared by the
+        associative-scan and fused rollouts; SinglePhase.cpp:160-175)."""
+        sd = plan.step
+        w1 = 1.0 - ((sd.is_reset > 0) | (sd.active == 0)).astype(dX.dtype)
+        dxk = dX[:-1]
+        duk = eps * tr.dU + jnp.einsum("kij,kj->ki", tr.K, dxk)
+        dV1_dyn = jnp.sum(w1 * (jnp.einsum("ki,ki->k", tr.lx, dxk)
+                                + jnp.einsum("ki,ki->k", tr.lu, duk)))
+        dV2_dyn = jnp.sum(w1 * (
+            jnp.einsum("ki,kij,kj->k", dxk, tr.lxx, dxk)
+            + jnp.einsum("ki,kij,kj->k", duk, tr.luu, duk)
+            + jnp.einsum("ki,kij,kj->k", duk, tr.lux, dxk)))
+        dV1_tr = jnp.sum(jnp.einsum("ki,ki->k", tr.phix, dX))
+        dV2_tr = jnp.sum(jnp.einsum("ki,kij,kj->k", dX, tr.phixx, dX))
+        return dV1_dyn + dV1_tr, dV2_dyn + dV2_tr
+
+    def linear_rollout_fused(plan, tr: TrajState, eps):
+        """Linear rollout via the lane-batched Pallas kernel
+        (ops/fused_linroll.py): the affine recursion runs with the dx
+        carry in VMEM — per-sample calls fall back to a lax.scan under
+        the custom_vmap bridge."""
+        from cafempc_tpu.ops.fused_linroll import linroll_op
+        sd = plan.step
+        w = ((sd.is_reset > 0) | (sd.active == 0))[:, None, None]
+        BK = jnp.einsum("kij,kjl->kil", tr.B, tr.K)
+        M = jnp.where(w, tr.A, tr.A + BK)
+        Bdu = jnp.einsum("kij,kj->ki", tr.B, eps * tr.dU)
+        c = jnp.where(w[:, :, 0], 0.0, Bdu) + eps * tr.Defect[1:]
+        dx0 = eps * tr.Defect[0]
+        dX_tail = linroll_op(M, c, dx0)
+        dX = jnp.concatenate([dx0[None], dX_tail], axis=0)
+        dV1, dV2 = _lin_dV(plan, tr, dX, eps)
+        return tr._replace(dX=dX), dV1, dV2
+
     def linear_rollout_parallel(plan, tr: TrajState, eps):
         """Associative-scan linear rollout: the affine recursion
         dx_{k+1} = M_k dx_k + c_k (M_k = A_k + B_k K_k on dynamics steps,
@@ -540,20 +576,10 @@ def make_solver(fns: ProblemFns, opts: SolverOptions, *, all_shooting=True,
         dX_tail = jnp.einsum("kij,j->ki", Mc, dx0) + cc
         dX = jnp.concatenate([dx0[None], dX_tail], axis=0)
 
-        dxk = dX[:-1]
-        duk = eps * tr.dU + jnp.einsum("kij,kj->ki", tr.K, dxk)
-        w1 = 1.0 - w[:, 0, 0]
-        dV1_dyn = jnp.sum(w1 * (jnp.einsum("ki,ki->k", tr.lx, dxk)
-                                + jnp.einsum("ki,ki->k", tr.lu, duk)))
-        dV2_dyn = jnp.sum(w1 * (
-            jnp.einsum("ki,kij,kj->k", dxk, tr.lxx, dxk)
-            + jnp.einsum("ki,kij,kj->k", duk, tr.luu, duk)
-            + jnp.einsum("ki,kij,kj->k", duk, tr.lux, dxk)))
-        # terminal contributions at every phase-terminal knot (phix/phixx
-        # are masked to those knots) + the final knot
-        dV1_tr = jnp.sum(jnp.einsum("ki,ki->k", tr.phix, dX))
-        dV2_tr = jnp.sum(jnp.einsum("ki,kij,kj->k", dX, tr.phixx, dX))
-        return tr._replace(dX=dX), dV1_dyn + dV1_tr, dV2_dyn + dV2_tr
+        # dV terms: terminal contributions hit every phase-terminal knot
+        # (phix/phixx are masked to those knots) + the final knot
+        dV1, dV2 = _lin_dV(plan, tr, dX, eps)
+        return tr._replace(dX=dX), dV1, dV2
 
     def linear_rollout_seq(plan, tr: TrajState, eps):
         """Multiple-shooting search direction + expected cost change
@@ -590,8 +616,11 @@ def make_solver(fns: ProblemFns, opts: SolverOptions, *, all_shooting=True,
         dV2 = dV2 + dxN @ (tr.phixx[-1] @ dxN)
         return tr._replace(dX=dX), dV1, dV2
 
-    linear_rollout = (linear_rollout_parallel if parallel_linear_rollout
-                      else linear_rollout_seq)
+    if fused_linroll is None:
+        fused_linroll = fused_riccati
+    linear_rollout = (linear_rollout_fused if fused_linroll
+                      else linear_rollout_parallel
+                      if parallel_linear_rollout else linear_rollout_seq)
 
     # ---------------- line search -------------------------------------
     def line_search(plan, pen, tr, x0, cost0, merit0, feas0, rho, dV1, dV2):
@@ -820,5 +849,7 @@ def make_solver(fns: ProblemFns, opts: SolverOptions, *, all_shooting=True,
     solve._lq_approx = lq_approx
     solve._backward_sweep = backward_sweep
     solve._backward_sweep_parallel = backward_sweep_parallel
+    solve._backward_sweep_fused = backward_sweep_fused
+    solve._linear_rollout_fused = linear_rollout_fused
     solve._linear_rollout = linear_rollout
     return solve

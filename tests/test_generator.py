@@ -121,3 +121,39 @@ def test_barrel_roll_reference_generation():
         assert np.array_equal(d2.contact, d.contact)
     finally:
         os.remove(p)
+
+
+def test_run_jump_reference_generation():
+    """Acrobatic generator (gen_run_jump.py analogue): composed bound +
+    stretched-flight jump schedule, CoM z constant, contacts consistent."""
+    from cafempc_tpu.reference.acrobatic import generate_run_jump_reference
+    d = generate_run_jump_reference(n_bounds_before=2, n_bounds_after=2,
+                                    vx=1.0)
+    # constant reference height, forward progress
+    assert np.allclose(d.body_state[:, 2], 0.24)
+    assert d.body_state[-1, 0] > 0.5
+    # flight durations: regular bound flights are 0.1 s; exactly one
+    # stretched 0.35 s jump flight
+    c = d.contact.sum(axis=1)
+    flights = []
+    k = 0
+    while k < len(c):
+        if c[k] == 0:
+            j = k
+            while j < len(c) and c[j] == 0:
+                j += 1
+            flights.append((j - k) * d.dt)
+            k = j
+        else:
+            k += 1
+    assert max(flights) > 0.3
+    assert sum(1 for f in flights if f > 0.3) == 1
+    # IK consistency at a mid-trajectory stance knot
+    from cafempc_tpu.models import rbda, wbm
+    m = wbm.load_model()
+    ks = np.where(c == 4)[0]
+    k = int(ks[len(ks) // 2])
+    q = jnp.concatenate([jnp.asarray(d.body_state[k][:6]),
+                         jnp.asarray(d.qJ[k])])
+    pf = np.asarray(rbda.foot_kinematics(m, q)).reshape(12)
+    assert np.abs(pf - d.foot_placements[k]).max() < 1e-6

@@ -107,3 +107,20 @@ def test_reset_partial_vs_fd():
         fd = (hkd.reset_map(x + dx, c_cur, c_next)
               - hkd.reset_map(x - dx, c_cur, c_next)) / (2 * eps)
         assert np.abs(np.asarray(P[:, i] - fd)).max() < 1e-6
+
+
+def test_analytic_partials_match_ad(rng):
+    """Closed-form dynamics_partials == jacfwd partials at random states."""
+    import jax.numpy as jnp
+    from cafempc_tpu.models import hkd
+    for trial in range(5):
+        x = jnp.asarray(rng.normal(size=24) * 0.5)
+        u = jnp.asarray(rng.normal(size=24) * 2.0)
+        contact = jnp.asarray(
+            (rng.random(4) > 0.5).astype(float))
+        A1, B1 = hkd.dynamics_partials(x, u, 0.01, contact)
+        A2, B2 = hkd.dynamics_partials_ad(x, u, 0.01, contact)
+        np.testing.assert_allclose(np.asarray(A1), np.asarray(A2),
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(B1), np.asarray(B2),
+                                   rtol=1e-5, atol=1e-7)

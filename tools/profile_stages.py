@@ -74,8 +74,14 @@ vsw = jax.jit(jax.vmap(lambda tr: solve._backward_sweep(plan, tr, 0.01)[0]),
 vswp = jax.jit(jax.vmap(
     lambda tr: solve._backward_sweep_parallel(plan, tr, 0.01)[0]),
     donate_argnums=(0,))
+vswf = jax.jit(jax.vmap(
+    lambda tr: solve._backward_sweep_fused(plan, tr, 0.01)[0]),
+    donate_argnums=(0,))
 vlr = jax.jit(jax.vmap(
     lambda tr: solve._linear_rollout(plan, tr, 1.0)[0]),
+    donate_argnums=(0,))
+vlrf = jax.jit(jax.vmap(
+    lambda tr: solve._linear_rollout_fused(plan, tr, 1.0)[0]),
     donate_argnums=(0,))
 
 tr_b = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape) + 0.0,
@@ -102,6 +108,9 @@ def bench(name, fn, *args, donated=0):
 tr_b = bench("rollout(vmap)", vro, tr_b, x0_b)
 bench("compute_cost", vco, pen_b, tr_b, donated=None)
 tr_b = bench("lq_approx", vlq, pen_b, tr_b, donated=1)
-tr_b = bench("sweep_sequential", vsw, tr_b)
-tr_b = bench("sweep_parallel", vswp, tr_b)
+if os.environ.get("SKIP_SLOW_SWEEPS", "0") != "1":
+    tr_b = bench("sweep_sequential", vsw, tr_b)
+    tr_b = bench("sweep_parallel", vswp, tr_b)
+tr_b = bench("sweep_fused", vswf, tr_b)
 tr_b = bench("linear_rollout_par", vlr, tr_b)
+tr_b = bench("linear_rollout_fused", vlrf, tr_b)
