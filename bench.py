@@ -129,9 +129,11 @@ def main():
 
     seq_ls = os.environ.get("BENCH_SEQ_LS", "1") == "1"
     fused = os.environ.get("BENCH_FUSED", "1") == "1"
+    max_resets = int(os.environ.get("BENCH_MAX_RESETS", "16"))
     solve_b = make_batched_solver(fns, opts, trim_output=True,
                                   parallel_line_search=not seq_ls,
-                                  fused_riccati=fused)
+                                  fused_riccati=fused,
+                                  max_resets=max_resets or None)
 
     # warmup / compile
     s = solve_b(plan, pen_b, x0_b, Xb_b, Ub_b)

@@ -68,6 +68,50 @@ def foot_position(pos, eul, qleg, leg):
     return pos + R @ leg_fk_local(qleg, leg)
 
 
+def _rot_derivs(eul):
+    """R(eul) and its partials wrt (yaw, pitch, roll) for the ZYX chain
+    R = Rz(yaw) Ry(pitch) Rx(roll)."""
+    yaw, pitch, roll = eul[0], eul[1], eul[2]
+    Rz, Ry, Rx = rotz(yaw), roty(pitch), rotx(roll)
+    R = Rz @ Ry @ Rx
+    dtype = eul.dtype
+    ez = jnp.array([0.0, 0.0, 1.0], dtype)
+    ey = jnp.array([0.0, 1.0, 0.0], dtype)
+    ex = jnp.array([1.0, 0.0, 0.0], dtype)
+    dR_dy = skew(ez) @ R
+    dR_dp = Rz @ skew(ey) @ Ry @ Rx
+    dR_dr = Rz @ Ry @ skew(ex) @ Rx
+    return R, dR_dy, dR_dp, dR_dr
+
+
+def leg_jacobian_local(qleg, leg):
+    """Analytic 3x3 Jacobian of `leg_fk_local` wrt the leg's joint angles."""
+    s1, c1 = jnp.sin(qleg[0]), jnp.cos(qleg[0])
+    s2, c2 = jnp.sin(qleg[1]), jnp.cos(qleg[1])
+    s3, c3 = jnp.sin(qleg[2]), jnp.cos(qleg[2])
+    s23 = s2 * c3 + c2 * s3
+    c23 = c2 * c3 - s2 * s3
+    sig = SIDE_SIGN[leg]
+    ext = L3 * c23 + L2 * c2
+    dext2 = -L3 * s23 - L2 * s2
+    dext3 = -L3 * s23
+    z = jnp.zeros((), qleg.dtype)
+    return jnp.array([
+        [z, ext, L3 * c23],
+        [-sig * L1 * s1 + c1 * ext, s1 * dext2, s1 * dext3],
+        [sig * L1 * c1 + s1 * ext, -c1 * dext2, -c1 * dext3]])
+
+
+def foot_world_jacobians(pos, eul, qleg, leg):
+    """Analytic partials of the world-frame foot position:
+    returns (J_eul [3,3], J_q [3,3]); d/dpos is the identity."""
+    R, dR_dy, dR_dp, dR_dr = _rot_derivs(eul)
+    p_l = leg_fk_local(qleg, leg)
+    J_eul = jnp.stack([dR_dy @ p_l, dR_dp @ p_l, dR_dr @ p_l], axis=1)
+    J_q = R @ leg_jacobian_local(qleg, leg)
+    return J_eul, J_q
+
+
 def foot_jacobian(pos, eul, qleg, leg):
     """d foot_position / d (pos(3), eul(3), qleg... full qdummy(12)).
 
@@ -259,11 +303,107 @@ def reset_map(x, contact_cur, contact_next):
     return jnp.concatenate([x[0:12]] + out)
 
 
+def reset_map_partial_ad(x, contact_cur, contact_next):
+    """Px = d reset / dx via jacfwd (24 tangents); reference for tests."""
+    return jax.jacfwd(reset_map, argnums=0)(x, contact_cur, contact_next)
+
+
 def reset_map_partial(x, contact_cur, contact_next):
-    """Px = d reset / dx (HKDReset.h:78-136).
+    """Px = d reset / dx (HKDReset.h:78-136), closed form.
 
     Matches the reference exactly, including its structure: identity for
     unchanged legs, zero rows for stance->swing legs, and the (z-masked)
-    foot Jacobian for swing->stance legs.
+    foot Jacobian for swing->stance legs.  Assembled analytically instead
+    of a 24-tangent jacfwd — the solver's LQ stage evaluates this on every
+    knot (mask-selected), so it must be as cheap as the dynamics Jacobian.
     """
-    return jax.jacfwd(reset_map, argnums=0)(x, contact_cur, contact_next)
+    dtype = x.dtype
+    eul, pos = x[0:3], x[3:6]
+    qdummy = x[12:24]
+    I3 = jnp.eye(3, dtype=dtype)
+    zmask = jnp.diag(jnp.array([1.0, 1.0, 0.0], dtype))
+    P = jnp.zeros((24, 24), dtype).at[0:12, 0:12].set(
+        jnp.eye(12, dtype=dtype))
+    for leg in range(4):
+        qleg = qdummy[3 * leg:3 * leg + 3]
+        td = (1.0 - contact_cur[leg]) * contact_next[leg]
+        lo = contact_cur[leg] * (1.0 - contact_next[leg])
+        keep = 1.0 - td - lo
+        J_eul, J_q = foot_world_jacobians(pos, eul, qleg, leg)
+        r = 12 + 3 * leg
+        P = P.at[r:r + 3, 0:3].set(td * (zmask @ J_eul))
+        P = P.at[r:r + 3, 3:6].set(td * zmask)
+        P = P.at[r:r + 3, r:r + 3].set(td * (zmask @ J_q) + keep * I3)
+    return P
+
+
+def _legs_fk_local(qd4):
+    """leg_fk_local for all 4 legs at once: qd4 [4,3] -> p_local [4,3]."""
+    s1, c1 = jnp.sin(qd4[:, 0]), jnp.cos(qd4[:, 0])
+    s2, c2 = jnp.sin(qd4[:, 1]), jnp.cos(qd4[:, 1])
+    s3, c3 = jnp.sin(qd4[:, 2]), jnp.cos(qd4[:, 2])
+    s23 = s2 * c3 + c2 * s3
+    c23 = c2 * c3 - s2 * s3
+    sig = SIDE_SIGN.astype(qd4.dtype)
+    ext = L3 * c23 + L2 * c2
+    px = HIP_X.astype(qd4.dtype) + L3 * s23 + L2 * s2
+    py = HIP_Y.astype(qd4.dtype) + sig * L1 * c1 + s1 * ext
+    pz = sig * L1 * s1 - c1 * ext
+    return jnp.stack([px, py, pz], axis=1)
+
+
+def _legs_jacobian_local(qd4):
+    """leg_jacobian_local for all 4 legs: qd4 [4,3] -> J [4,3,3]."""
+    s1, c1 = jnp.sin(qd4[:, 0]), jnp.cos(qd4[:, 0])
+    s2, c2 = jnp.sin(qd4[:, 1]), jnp.cos(qd4[:, 1])
+    s3, c3 = jnp.sin(qd4[:, 2]), jnp.cos(qd4[:, 2])
+    s23 = s2 * c3 + c2 * s3
+    c23 = c2 * c3 - s2 * s3
+    sig = SIDE_SIGN.astype(qd4.dtype)
+    ext = L3 * c23 + L2 * c2
+    dext2 = -L3 * s23 - L2 * s2
+    dext3 = -L3 * s23
+    z = jnp.zeros_like(s1)
+    row_x = jnp.stack([z, ext, L3 * c23], axis=1)
+    row_y = jnp.stack([-sig * L1 * s1 + c1 * ext, s1 * dext2, s1 * dext3],
+                      axis=1)
+    row_z = jnp.stack([sig * L1 * c1 + s1 * ext, -c1 * dext2, -c1 * dext3],
+                      axis=1)
+    return jnp.stack([row_x, row_y, row_z], axis=1)
+
+
+def foot_heights(x):
+    """World-frame foot z for all 4 legs (leg-vectorized): [4]."""
+    eul, pos = x[0:3], x[3:6]
+    p_l = _legs_fk_local(x[12:24].reshape(4, 3))
+    R = eul_to_rot(eul)
+    return pos[2] + p_l @ R[2]
+
+
+def touchdown_height_partials(x):
+    """dh/dx for h_l = foot_z(pos, eul, qdummy_leg), all 4 legs: [4, 24],
+    closed form (reference TouchDownConstraint partials via casadi foot
+    Jacobians, HKDConstraints.cpp:122-160).
+
+    Leg-vectorized: R and its euler partials are built ONCE and only their
+    z-rows are used, so the whole thing is a handful of [4,3] contractions
+    instead of per-leg matrix soup (the first closed form cost 5x the
+    dynamics Jacobian in the batched LQ stage)."""
+    dtype = x.dtype
+    eul = x[0:3]
+    qd4 = x[12:24].reshape(4, 3)
+    R, dR_dy, dR_dp, dR_dr = _rot_derivs(eul)
+    p_l = _legs_fk_local(qd4)                       # [4,3]
+    J_loc = _legs_jacobian_local(qd4)               # [4,3,3]
+    # z-row of d(R p)/deul per leg: [4,3]
+    dR_z = jnp.stack([dR_dy[2], dR_dp[2], dR_dr[2]], axis=0)   # [3,3]
+    heul = p_l @ dR_z.T                             # [4,3]
+    # z-row of R J_loc per leg: [4,3]
+    hq = jnp.einsum("j,ljk->lk", R[2], J_loc)
+    hpos = jnp.zeros((4, 3), dtype).at[:, 2].set(1.0)
+    zmid = jnp.zeros((4, 6), dtype)
+    # qdummy block-diagonal placement
+    hqd = jnp.zeros((4, 12), dtype)
+    for leg in range(4):
+        hqd = hqd.at[leg, 3 * leg:3 * leg + 3].set(hq[leg])
+    return jnp.concatenate([heul, hpos, zmid, hqd], axis=1)

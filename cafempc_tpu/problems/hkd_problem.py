@@ -13,6 +13,7 @@ The builder runs on the host in numpy and emits statically-shaped arrays;
 `make_hkd_fns()` returns the pure JAX callables the HS-DDP solver vmaps.
 """
 import dataclasses
+import os
 import re
 
 import numpy as np
@@ -285,9 +286,16 @@ def make_hkd_fns() -> ProblemFns:
         xn = hkd.dynamics(x, u, sd.dt, sd.contact)
         return xn, jnp.zeros((0,), x.dtype)
 
+    use_ad = os.environ.get("CAFEMPC_HKD_AD_PARTIALS", "0") == "1"
+
     def dyn_partials(x, u, sd):
-        A = jax.jacfwd(lambda x_: hkd.dynamics(x_, u, sd.dt, sd.contact))(x)
-        B = jax.jacfwd(lambda u_: hkd.dynamics(x, u_, sd.dt, sd.contact))(u)
+        # closed-form hkinodyn_par analogue (models/hkd.py:dynamics_partials)
+        # instead of a 48-tangent jacfwd: the reference itself evaluates
+        # generated analytic partials here (HKDModel.h:46-61).
+        if use_ad:   # A/B escape hatch for benchmarking
+            A, B = hkd.dynamics_partials_ad(x, u, sd.dt, sd.contact)
+        else:
+            A, B = hkd.dynamics_partials(x, u, sd.dt, sd.contact)
         C = jnp.zeros((0, 24), x.dtype)
         D = jnp.zeros((0, 24), x.dtype)
         return A, B, C, D
@@ -296,8 +304,7 @@ def make_hkd_fns() -> ProblemFns:
         return hkd.reset_map(x, sd.contact, sd.contact_next)
 
     def reset_partial(x, sd):
-        return jax.jacfwd(
-            lambda x_: hkd.reset_map(x_, sd.contact, sd.contact_next))(x)
+        return hkd.reset_map_partial(x, sd.contact, sd.contact_next)
 
     def run_cost(x, u, y, sd):
         q, r, _ = _tracking_weights(sd.contact)
@@ -368,17 +375,11 @@ def make_hkd_fns() -> ProblemFns:
 
     def term_con(x, kd):
         """h_l = foot_z - ground for touchdown legs
-        (HKDConstraints.cpp:79-120)."""
-        eul, pos = x[0:3], x[3:6]
-        qd = x[12:24]
-        hs = []
-        for leg in range(4):
-            pf = hkd.foot_position(pos, eul, qd[3 * leg:3 * leg + 3], leg)
-            hs.append(pf[2] - GROUND_HEIGHT)
-        return jnp.stack(hs)
+        (HKDConstraints.cpp:79-120), leg-vectorized."""
+        return hkd.foot_heights(x) - GROUND_HEIGHT
 
     def term_con_partials(x, kd):
-        return jax.jacfwd(lambda x_: term_con(x_, kd))(x)
+        return hkd.touchdown_height_partials(x)
 
     return ProblemFns(
         dyn=dyn, dyn_partials=dyn_partials, reset=reset,

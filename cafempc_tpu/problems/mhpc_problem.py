@@ -31,15 +31,17 @@ import jax.numpy as jnp
 from cafempc_tpu.models import rbda, srb, wbm
 from cafempc_tpu.reference.quad_reference import (
     QuadReference, srb_state_ref_at, wb_state_ref_at)
-from cafempc_tpu.solver.hsddp import ProblemFns
+from cafempc_tpu.solver.hsddp import ProblemFns, SegmentedFns
 from cafempc_tpu.solver.plan import (KnotData, KnotPlan, PenaltyParams,
                                      StepData)
 
 XS, US, YS = 36, 12, 12
-# path-constraint layout: [torque(24) | joint(24) | minheight(1) | grf(20)]
-N_PCON = 69
+# path-constraint layout:
+# [torque(24) | joint(24) | minheight(1) | grf(20) | jointspeed(24)]
+N_PCON = 93
 N_TCON = 4
 TORQUE_LIMIT = 17.0                  # MHPCConstraint.cpp:77
+JOINT_SPEED_LIMIT = 20.0             # MHPCConstraint.h:72-73 (+-20 rad/s)
 JOINT_LB = np.array([-1.3, -5.0, -np.pi])   # MHPCConstraint.cpp:172
 JOINT_UB = np.array([1.3, 5.0, np.pi])
 MIN_HEIGHT_WB = 0.20                 # MHPCConstraint.h (WBMinimumHeight)
@@ -62,6 +64,10 @@ class MHPCConfig:
     dt_srb: float = 0.05
     BG_alpha: float = 10.0
     n_steps_max: int = 48
+    # static step index where the SRB tail segment begins (carry-pad
+    # layout, see build_mhpc_plan); must exceed the max WB content length
+    # (25 dyn steps + intra-WB resets + 1 model-switch reset)
+    wb_block: int = 32
     # cost weights (cost_weights_*.JSON); None -> constructor defaults
     wb_q: np.ndarray = None
     wb_r: np.ndarray = None
@@ -77,6 +83,17 @@ class MHPCConfig:
     td_al_sigma: float = 10.0
     td_al_sigma_max: float = 1e4
     td_al_lambda: float = 0.0
+    # JointSpeedLimit (MHPCConstraint.cpp:118-160): compiled but disabled
+    # by default in the reference -> flag-gated off here too
+    joint_speed_limit: bool = False
+    # which path constraints are armed: "regular" = torque + joint box +
+    # min height + GRF (MHPCProblem.cpp:428-481); "loco" = torque + GRF
+    # only (LocoProblem.cpp:66-89)
+    pcon_set: str = "regular"
+    # file names from the config .info (referenceFile/costFile/...)
+    reference_file: str = ""
+    cost_file: str = ""
+    constraint_file: str = ""
 
 
 def _default_weights(cfg: MHPCConfig):
@@ -126,7 +143,10 @@ def load_mhpc_config(fname) -> MHPCConfig:
         dt_mpc=float(kv.get("dt_mpc", 0.02)),
         dt_wb=float(kv.get("dt_wb", 0.01)),
         dt_srb=float(kv.get("dt_srb", 0.05)),
-        BG_alpha=float(kv.get("BG_alpha", 10.0)))
+        BG_alpha=float(kv.get("BG_alpha", 10.0)),
+        reference_file=kv.get("referenceFile", ""),
+        cost_file=kv.get("costFile", ""),
+        constraint_file=kv.get("constraintParamFile", ""))
     return _default_weights(cfg)
 
 
@@ -210,6 +230,7 @@ def discover_wb_phases(quad_ref: QuadReference, plan_dur_wb, dt):
 
 def build_mhpc_plan(quad_ref: QuadReference, cfg: MHPCConfig):
     """Flat cascaded plan.  Returns (plan, pen, Xbar0, Ubar0, meta)."""
+    cfg = _default_weights(cfg)
     N = cfg.n_steps_max
     wb_phases = discover_wb_phases(quad_ref, cfg.plan_dur_wb, cfg.dt_wb)
     n_wb = len(wb_phases)
@@ -292,17 +313,41 @@ def build_mhpc_plan(quad_ref: QuadReference, cfg: MHPCConfig):
         is_last_wb = ip + 1 >= n_wb
         if is_last_wb and srb_horizon == 0:
             break
-        step["active"][j] = 1.0
-        step["is_reset"][j] = 1.0
-        fill_step(j, te, cfg.dt_wb, contact, 0)
-        step["contact"][j] = contact
-        step["contact_next"][j] = contact_next
         if is_last_wb:
+            # Static-layout padding: identity carry-pad reset steps up to
+            # the segment boundary so the SRB tail always starts at step
+            # wb_block (contact_next == contact -> identity reset; the
+            # backward sweep's transform branch carries (G, H) through
+            # unchanged).  Then the WB->SRB model-switch reset at
+            # wb_block-1.
+            assert j <= cfg.wb_block - 1, \
+                (f"WB content ({j} steps) exceeds wb_block-1 "
+                 f"({cfg.wb_block - 1}); raise MHPCConfig.wb_block")
+            while j < cfg.wb_block - 1:
+                step["active"][j] = 1.0
+                step["is_reset"][j] = 1.0
+                fill_step(j, te, cfg.dt_wb, contact, 0)
+                step["contact_next"][j] = contact
+                j += 1
+                fill_knot(j, te, contact, 0)
+                Xbar0[j] = wb_state_ref_at(quad_ref, te)
+            step["active"][j] = 1.0
+            step["is_reset"][j] = 1.0
+            fill_step(j, te, cfg.dt_wb, contact, 0)
+            step["contact_next"][j] = contact_next
             step["model_switch"][j] = 1.0
-        j += 1
+            j += 1
+        else:
+            step["active"][j] = 1.0
+            step["is_reset"][j] = 1.0
+            fill_step(j, te, cfg.dt_wb, contact, 0)
+            step["contact"][j] = contact
+            step["contact_next"][j] = contact_next
+            j += 1
 
     # SRB tail phase
     if srb_horizon > 0:
+        assert j == cfg.wb_block, (j, cfg.wb_block)
         srb_t0 = cfg.plan_dur_wb
         for k in range(srb_horizon):
             t = srb_t0 + k * cfg.dt_srb
@@ -327,9 +372,10 @@ def build_mhpc_plan(quad_ref: QuadReference, cfg: MHPCConfig):
     reb_active = np.zeros((N, N_PCON))
     reb_delta_min = np.ones(N_PCON)
     blocks = [("Torque", slice(0, 24)), ("Joint", slice(24, 48)),
-              ("MinHeight", slice(48, 49)), ("GRF", slice(49, 69))]
+              ("MinHeight", slice(48, 49)), ("GRF", slice(49, 69)),
+              ("JointSpeed", slice(69, 93))]
     for name, sl in blocks:
-        p = cfg.reb[name]
+        p = cfg.reb.get(name, dict(delta=0.1, delta_min=0.1, eps=0.1))
         reb_delta[:, sl] = p["delta"]
         reb_delta_min[sl] = p["delta_min"]
         reb_eps[:, sl] = p["eps"]
@@ -337,7 +383,13 @@ def build_mhpc_plan(quad_ref: QuadReference, cfg: MHPCConfig):
         if not step["active"][k] or step["is_reset"][k]:
             continue
         if step["model_id"][k] == 0:
-            reb_active[k, 0:49] = 1.0
+            if cfg.pcon_set == "loco":
+                # LocoProblem arms only torque + GRF (LocoProblem.cpp:66-89)
+                reb_active[k, 0:24] = 1.0
+            else:
+                reb_active[k, 0:49] = 1.0
+            if cfg.joint_speed_limit:
+                reb_active[k, 69:93] = 1.0
             for leg in range(4):
                 reb_active[k, 49 + 5 * leg:54 + 5 * leg] = \
                     step["contact"][k][leg]
@@ -354,7 +406,8 @@ def build_mhpc_plan(quad_ref: QuadReference, cfg: MHPCConfig):
         al_sigma_max=np.asarray(cfg.td_al_sigma_max))
 
     meta = dict(wb_phases=wb_phases, srb_horizon=srb_horizon,
-                n_knots=n_knots, contact_after_wb=contact_after_wb)
+                n_knots=n_knots, contact_after_wb=contact_after_wb,
+                wb_block=cfg.wb_block)
     return plan, pen, Xbar0, Ubar0, meta
 
 
@@ -371,8 +424,52 @@ def _srb_embedded_step(x, u, dt, pf_ref, ref_contact):
     return xn
 
 
-def make_mhpc_fns(cfg: MHPCConfig, model=None) -> ProblemFns:
+def apply_transition_foot_handoff(plan_np, cfg: MHPCConfig, x_transition,
+                                  model=None, ground_height=0.0):
+    """Transition-frozen foot handoff for the SRB tail
+    (MHPCFootStep.h:26-57, updateFootPosAtTransition/updateFootPositions):
+    feet in contact at the WB->SRB handoff keep the ACTUAL (solved) WB foot
+    XY — frozen while the foot remains continuously in contact — instead
+    of the reference placement; z is the ground height.  Mutates
+    plan_np.step.pf_ref in place on the SRB steps.
+
+    NOTE: the reference computes this but its getFootPositions currently
+    returns reference placements anyway (MHPCFootStep.h:59-65) — so this
+    is opt-in (MHPCRuntime(foot_handoff=True)) to keep default behavior
+    reference-exact.
+    """
     if model is None:
+        model = wbm.load_model()
+    pf = np.asarray(wbm.foot_positions(model, jnp.asarray(x_transition)))
+    step = plan_np.step
+    N = step.active.shape[0]
+    frozen = None
+    for k in range(cfg.wb_block, N):
+        if step.active[k] < 1 or step.model_id[k] != 1:
+            continue
+        rc = np.asarray(step.ref_contact[k])
+        if frozen is None:
+            frozen = rc > 0        # feet in contact at the handoff
+        for leg in range(4):
+            if frozen[leg] and rc[leg] > 0:
+                step.pf_ref[k][3 * leg:3 * leg + 2] = pf[leg][:2]
+                step.pf_ref[k][3 * leg + 2] = ground_height
+            else:
+                frozen[leg] = False   # contact broke: reference placements
+    return plan_np
+
+
+def make_mhpc_fns(cfg: MHPCConfig, model=None, mode="joint") -> ProblemFns:
+    """Problem functions for the cascade.
+
+    mode="joint": every callable handles both models via a model_id
+    where-select (evaluates BOTH branches on every knot — correct but
+    wasteful).  mode="wb"/"srb": single-model callables for the segmented
+    solver (SegmentedFns), which restricts each model's evaluation to its
+    own static step range — the reference's per-phase LQ touches only its
+    own model (SinglePhase.cpp:265-320).
+    """
+    if model is None and mode != "srb":
         model = wbm.load_model()
     cfg = _default_weights(cfg)
     wb_q = jnp.asarray(cfg.wb_q)
@@ -389,31 +486,64 @@ def make_mhpc_fns(cfg: MHPCConfig, model=None) -> ProblemFns:
     body_mask = jnp.asarray(BODY_MASK36)
 
     # ---------------- dynamics / reset ----------------------------
-    def dyn(x, u, sd):
-        xn_wb, grf = wbm.dynamics(model, x, u, sd.dt, sd.contact,
-                                  cfg.BG_alpha)
-        xn_srb = _srb_embedded_step(x, u, sd.dt, sd.pf_ref, sd.ref_contact)
-        wb = sd.model_id == 0
-        xn = jnp.where(wb, xn_wb, xn_srb)
-        y = jnp.where(wb, grf, jnp.zeros_like(grf))
-        return xn, y
+    def dyn_wb(x, u, sd):
+        return wbm.dynamics(model, x, u, sd.dt, sd.contact, cfg.BG_alpha)
 
-    def dyn_partials(x, u, sd):
-        (A, B), (C, D) = jax.jacfwd(
-            lambda x_, u_: dyn(x_, u_, sd), argnums=(0, 1))(x, u)
-        return A, B, C, D
+    def dyn_srb(x, u, sd):
+        xn = _srb_embedded_step(x, u, sd.dt, sd.pf_ref, sd.ref_contact)
+        return xn, jnp.zeros(YS, x.dtype)
 
-    def reset(x, sd):
-        """(MHPCReset.cpp:4-28): impact on new contacts, then the WB->SRB
-        body-mask projection at the model switch."""
-        ximp, _ = wbm.impact(model, x, sd.contact, sd.contact_next)
-        has_impact = jnp.any(
-            (sd.contact_next - sd.contact) > 0.5)
-        xr = jnp.where(has_impact, ximp, x)
-        return jnp.where(sd.model_switch > 0, xr * body_mask, xr)
+    if mode == "wb":
+        dyn = dyn_wb
+    elif mode == "srb":
+        dyn = dyn_srb
+    else:
+        def dyn(x, u, sd):
+            xn_wb, grf = dyn_wb(x, u, sd)
+            xn_srb, _ = dyn_srb(x, u, sd)
+            wb = sd.model_id == 0
+            xn = jnp.where(wb, xn_wb, xn_srb)
+            y = jnp.where(wb, grf, jnp.zeros_like(grf))
+            return xn, y
 
-    def reset_partial(x, sd):
-        return jax.jacfwd(lambda x_: reset(x_, sd))(x)
+    if mode == "srb":
+        bd = jnp.asarray(BODY_DIMS)
+
+        def dyn_partials(x, u, sd):
+            """SRB Jacobians on the 12-dim core, embedded at the body dims
+            of the 36-lane (reference SRBM.h:66-75 + StateProjection)."""
+            x12 = x[bd]
+            A12, B12 = srb.dynamics_partials(x12, u, sd.pf_ref,
+                                             sd.ref_contact, sd.dt)
+            A = jnp.zeros((XS, XS), x.dtype) \
+                .at[bd[:, None], bd[None, :]].set(A12)
+            B = jnp.zeros((XS, US), x.dtype).at[bd, :].set(B12)
+            C = jnp.zeros((YS, XS), x.dtype)
+            D = jnp.zeros((YS, US), x.dtype)
+            return A, B, C, D
+
+        def reset(x, sd):
+            return x
+
+        def reset_partial(x, sd):
+            return jnp.eye(XS, dtype=x.dtype)
+    else:
+        def dyn_partials(x, u, sd):
+            (A, B), (C, D) = jax.jacfwd(
+                lambda x_, u_: dyn(x_, u_, sd), argnums=(0, 1))(x, u)
+            return A, B, C, D
+
+        def reset(x, sd):
+            """(MHPCReset.cpp:4-28): impact on new contacts, then the
+            WB->SRB body-mask projection at the model switch."""
+            ximp, _ = wbm.impact(model, x, sd.contact, sd.contact_next)
+            has_impact = jnp.any(
+                (sd.contact_next - sd.contact) > 0.5)
+            xr = jnp.where(has_impact, ximp, x)
+            return jnp.where(sd.model_switch > 0, xr * body_mask, xr)
+
+        def reset_partial(x, sd):
+            return jax.jacfwd(lambda x_: reset(x_, sd))(x)
 
     # ---------------- costs ---------------------------------------
     def _foot_cost_terms(x, sd_or_kd, dt_scale):
@@ -435,15 +565,29 @@ def make_mhpc_fns(cfg: MHPCConfig, model=None) -> ProblemFns:
         l = l + 0.5 * jnp.sum(c_sw[:, None] * dv * dv * QF_swv[None, :])
         return l * dt_scale
 
-    def run_cost(x, u, y, sd):
-        wb = sd.model_id == 0
+    def _run_cost_wb(x, u, sd):
         dx = x - sd.x_ref
         du = u - sd.u_ref
-        l_wb = 0.5 * jnp.sum(wb_q * dx * dx) + 0.5 * jnp.sum(wb_r * du * du)
-        l_wb = l_wb + _foot_cost_terms(x, sd, 1.0)
-        l_srb = 0.5 * jnp.sum(srb_q36 * dx * dx) \
+        l = 0.5 * jnp.sum(wb_q * dx * dx) + 0.5 * jnp.sum(wb_r * du * du)
+        return l + _foot_cost_terms(x, sd, 1.0)
+
+    def _run_cost_srb(x, u, sd):
+        dx = x - sd.x_ref
+        du = u - sd.u_ref
+        return 0.5 * jnp.sum(srb_q36 * dx * dx) \
             + 0.5 * jnp.sum(srb_r * du * du)
-        return jnp.where(wb, l_wb, l_srb) * sd.dt
+
+    if mode == "wb":
+        def run_cost(x, u, y, sd):
+            return _run_cost_wb(x, u, sd) * sd.dt
+    elif mode == "srb":
+        def run_cost(x, u, y, sd):
+            return _run_cost_srb(x, u, sd) * sd.dt
+    else:
+        def run_cost(x, u, y, sd):
+            wb = sd.model_id == 0
+            return jnp.where(wb, _run_cost_wb(x, u, sd),
+                             _run_cost_srb(x, u, sd)) * sd.dt
 
     def _foot_cost_partials(x, sd_or_kd, scale_g, scale_h):
         """Gauss-Newton partials of the foot terms with the reference's
@@ -479,16 +623,26 @@ def make_mhpc_fns(cfg: MHPCConfig, model=None) -> ProblemFns:
         wb = sd.model_id == 0
         dx = x - sd.x_ref
         du = u - sd.u_ref
-        q = jnp.where(wb, wb_q, srb_q36)
-        r = jnp.where(wb, wb_r, srb_r)
+        if mode == "wb":
+            q, r = wb_q, wb_r
+        elif mode == "srb":
+            q, r = srb_q36, srb_r
+        else:
+            q = jnp.where(wb, wb_q, srb_q36)
+            r = jnp.where(wb, wb_r, srb_r)
         lx = sd.dt * q * dx
         lu = sd.dt * r * du
         lxx = sd.dt * jnp.diag(q)
         luu = sd.dt * jnp.diag(r)
         lux = jnp.zeros((US, XS), x.dtype)
-        fx, fxx = _foot_cost_partials(x, sd, sd.dt, sd.dt)
-        lx = lx + jnp.where(wb, fx, 0.0)
-        lxx = lxx + jnp.where(wb, fxx, 0.0)
+        if mode != "srb":
+            fx, fxx = _foot_cost_partials(x, sd, sd.dt, sd.dt)
+            if mode == "wb":
+                lx = lx + fx
+                lxx = lxx + fxx
+            else:
+                lx = lx + jnp.where(wb, fx, 0.0)
+                lxx = lxx + jnp.where(wb, fxx, 0.0)
         ly = jnp.zeros(YS, x.dtype)
         lyy = jnp.zeros((YS, YS), x.dtype)
         return lx, lu, ly, lxx, luu, lux, lyy
@@ -499,28 +653,35 @@ def make_mhpc_fns(cfg: MHPCConfig, model=None) -> ProblemFns:
         vf = wbm.foot_velocities(model, x)
         return 0.5 * jnp.sum(kd.td_mask * vf[:, 2] ** 2)
 
-    def term_cost(x, kd):
-        wb = kd.model_id == 0
+    def _term_cost_wb(x, kd):
         dx = x - kd.x_ref
-        phi_wb = 0.5 * jnp.sum(wb_qf * dx * dx)
+        phi = 0.5 * jnp.sum(wb_qf * dx * dx)
         # WBFootPlaceReg terminal (MHPCCost.cpp:65-86): 0.5*d'Qd, stance
         pcom = x[0:3]
         pf = wbm.foot_positions(model, x)
         rc = kd.ref_contact
         d = (pf - pcom[None, :]) - (kd.pf_ref.reshape(4, 3)
                                     - kd.com_ref[None, :])
-        phi_wb = phi_wb + 0.5 * jnp.sum(
-            rc[:, None] * d * d * QF_reg[None, :])
-        phi_wb = phi_wb + _td_vel_penalty(x, kd)
-        phi_srb = 0.5 * jnp.sum(srb_qf36 * dx * dx)
-        return jnp.where(wb, phi_wb, phi_srb)
+        phi = phi + 0.5 * jnp.sum(rc[:, None] * d * d * QF_reg[None, :])
+        return phi + _td_vel_penalty(x, kd)
 
-    def term_cost_partials(x, kd):
-        wb = kd.model_id == 0
+    def _term_cost_srb(x, kd):
         dx = x - kd.x_ref
-        qf = jnp.where(wb, wb_qf, srb_qf36)
-        phix = qf * dx
-        phixx = jnp.diag(qf)
+        return 0.5 * jnp.sum(srb_qf36 * dx * dx)
+
+    if mode == "wb":
+        term_cost = _term_cost_wb
+    elif mode == "srb":
+        term_cost = _term_cost_srb
+    else:
+        def term_cost(x, kd):
+            return jnp.where(kd.model_id == 0, _term_cost_wb(x, kd),
+                             _term_cost_srb(x, kd))
+
+    def _term_cost_partials_wb(x, kd):
+        dx = x - kd.x_ref
+        phix = wb_qf * dx
+        phixx = jnp.diag(wb_qf)
         # foot place reg terminal partials, factor 2 quirk
         # (MHPCCost.cpp:89-118: Phix += 2*lq, Phixx += 2*lqq)
         pcom = x[0:3]
@@ -542,9 +703,23 @@ def make_mhpc_fns(cfg: MHPCConfig, model=None) -> ProblemFns:
         tdw = kd.td_mask
         fx = fx + jnp.einsum("f,fj->j", tdw * vf[:, 2], Jrow)
         fxx = fxx + jnp.einsum("fj,f,fk->jk", Jrow, tdw, Jrow)
-        phix = phix + jnp.where(wb, fx, 0.0)
-        phixx = phixx + jnp.where(wb, fxx, 0.0)
-        return phix, phixx
+        return phix + fx, phixx + fxx
+
+    def _term_cost_partials_srb(x, kd):
+        dx = x - kd.x_ref
+        return srb_qf36 * dx, jnp.diag(srb_qf36)
+
+    if mode == "wb":
+        term_cost_partials = _term_cost_partials_wb
+    elif mode == "srb":
+        term_cost_partials = _term_cost_partials_srb
+    else:
+        def term_cost_partials(x, kd):
+            wb = kd.model_id == 0
+            px_w, pxx_w = _term_cost_partials_wb(x, kd)
+            px_s, pxx_s = _term_cost_partials_srb(x, kd)
+            return (jnp.where(wb, px_w, px_s),
+                    jnp.where(wb, pxx_w, pxx_s))
 
     # ---------------- constraints ---------------------------------
     FACETS = jnp.array([[0.0, 0.0, 1.0],
@@ -559,17 +734,27 @@ def make_mhpc_fns(cfg: MHPCConfig, model=None) -> ProblemFns:
         lb = jnp.tile(jnp.asarray(JOINT_LB), 4)
         ub = jnp.tile(jnp.asarray(JOINT_UB), 4)
         g_j = jnp.concatenate([qJ - lb, ub - qJ])
-        h_min = jnp.where(sd.model_id == 0, MIN_HEIGHT_WB, MIN_HEIGHT_SRB)
+        if mode == "wb":
+            h_min = MIN_HEIGHT_WB
+            f = y.reshape(4, 3)
+        elif mode == "srb":
+            h_min = MIN_HEIGHT_SRB
+            f = u.reshape(4, 3)
+        else:
+            h_min = jnp.where(sd.model_id == 0, MIN_HEIGHT_WB,
+                              MIN_HEIGHT_SRB)
+            # GRF pyramid: on y for WB (ys output), on u for SRB (u = GRF)
+            f = jnp.where(sd.model_id == 0, y, u).reshape(4, 3)
         g_h = (x[2] - h_min)[None]
-        # GRF pyramid: on y for WB (ys output), on u for SRB (u = GRF)
-        f = jnp.where(sd.model_id == 0, y, u).reshape(4, 3)
         g_grf = jnp.einsum("fi,li->lf", FACETS.astype(x.dtype), f) \
             .reshape(20)
-        return jnp.concatenate([g_tq, g_j, g_h, g_grf])
+        qJd = x[24:36]
+        g_jv = jnp.concatenate([qJd + JOINT_SPEED_LIMIT,
+                                JOINT_SPEED_LIMIT - qJd])
+        return jnp.concatenate([g_tq, g_j, g_h, g_grf, g_jv])
 
     def path_con_partials(x, u, y, sd):
         dtype = x.dtype
-        wb = sd.model_id == 0
         gx = jnp.zeros((N_PCON, XS), dtype)
         gu = jnp.zeros((N_PCON, US), dtype)
         gy = jnp.zeros((N_PCON, YS), dtype)
@@ -577,22 +762,39 @@ def make_mhpc_fns(cfg: MHPCConfig, model=None) -> ProblemFns:
         gu = gu.at[0:12].set(I12).at[12:24].set(-I12)
         gx = gx.at[24:36, 6:18].set(I12).at[36:48, 6:18].set(-I12)
         gx = gx.at[48, 2].set(1.0)
+        gx = gx.at[69:81, 24:36].set(I12).at[81:93, 24:36].set(-I12)
         Fblk = jnp.zeros((20, 12), dtype)
         for leg in range(4):
             Fblk = Fblk.at[5 * leg:5 * leg + 5, 3 * leg:3 * leg + 3].set(
                 FACETS.astype(dtype))
-        gy = gy.at[49:69].set(jnp.where(wb, Fblk, 0.0))
-        gu = gu.at[49:69].set(jnp.where(wb, jnp.zeros_like(Fblk), Fblk))
+        if mode == "wb":
+            gy = gy.at[49:69].set(Fblk)
+        elif mode == "srb":
+            gu = gu.at[49:69].set(Fblk)
+        else:
+            wb = sd.model_id == 0
+            gy = gy.at[49:69].set(jnp.where(wb, Fblk, 0.0))
+            gu = gu.at[49:69].set(jnp.where(wb, jnp.zeros_like(Fblk), Fblk))
         return gx, gu, gy
 
-    def term_con(x, kd):
-        """WBTouchDown (MHPCConstraint.cpp:253-288): foot height at TD."""
-        return wbm.foot_heights(model, x)
+    if mode == "srb":
+        # no AL terminal constraints on the SRB tail (pen.al_active is 0
+        # on its knots); keep the callable trivial
+        def term_con(x, kd):
+            return jnp.zeros(N_TCON, x.dtype)
 
-    def term_con_partials(x, kd):
-        J = wbm.foot_jacobians(model, x)     # [4,3,18]
-        hx = jnp.zeros((N_TCON, XS), x.dtype)
-        return hx.at[:, 0:18].set(J[:, 2, :])
+        def term_con_partials(x, kd):
+            return jnp.zeros((N_TCON, XS), x.dtype)
+    else:
+        def term_con(x, kd):
+            """WBTouchDown (MHPCConstraint.cpp:253-288): foot height at
+            TD."""
+            return wbm.foot_heights(model, x)
+
+        def term_con_partials(x, kd):
+            J = wbm.foot_jacobians(model, x)     # [4,3,18]
+            hx = jnp.zeros((N_TCON, XS), x.dtype)
+            return hx.at[:, 0:18].set(J[:, 2, :])
 
     return ProblemFns(
         dyn=dyn, dyn_partials=dyn_partials, reset=reset,
@@ -601,3 +803,17 @@ def make_mhpc_fns(cfg: MHPCConfig, model=None) -> ProblemFns:
         term_cost_partials=term_cost_partials, path_con=path_con,
         path_con_partials=path_con_partials, term_con=term_con,
         term_con_partials=term_con_partials)
+
+
+def make_mhpc_fns_segmented(cfg: MHPCConfig, model=None) -> SegmentedFns:
+    """Two-segment problem functions for the cascade: WB steps
+    [0, wb_block), SRB tail [wb_block, n_steps_max).  Requires the plan
+    from build_mhpc_plan (carry-pad layout).  Eliminates the WB KKT
+    dynamics/partials from SRB knots and vice versa — the dominant waste
+    of the joint where-select fns."""
+    cfg = _default_weights(cfg)
+    wb = make_mhpc_fns(cfg, model=model, mode="wb")
+    tail = make_mhpc_fns(cfg, model=model, mode="srb")
+    return SegmentedFns(
+        counts=(cfg.wb_block, cfg.n_steps_max - cfg.wb_block),
+        fns=(wb, tail))

@@ -60,6 +60,11 @@ class HKDMPCRuntime:
         self.plan_np = None
         self.meta = None
         self.pf = np.zeros((4, 3))
+        # solve-time telemetry (MHPCLocomotion.cpp:134-142), milliseconds
+        self.last_solve_ms = 0.0
+        self.avg_solve_ms = 0.0
+        self.max_solve_ms = 0.0
+        self._n_solves = 0
 
     # ---------------- plan / warm start -----------------------------
     def _build(self):
@@ -114,32 +119,53 @@ class HKDMPCRuntime:
         return Xb, Ub
 
     # ---------------- MPC steps --------------------------------------
+    def _record_solve_time(self, t0):
+        import time as _time
+        self.last_solve_ms = (_time.perf_counter() - t0) * 1e3
+        self._n_solves += 1
+        self.avg_solve_ms += (self.last_solve_ms - self.avg_solve_ms) \
+            / self._n_solves
+        self.max_solve_ms = max(self.max_solve_ms, self.last_solve_ms)
+
     def initialize(self, x0):
+        import time as _time
         plan_np, pen_np, Xbar0, Ubar0, meta = self._build()
         plan = host_plan_to_device(plan_np, self.dtype)
         pen = hp.pen_to_device(pen_np, self.dtype)
+        t0 = _time.perf_counter()
         s = self.solve_init(plan, pen, jnp.asarray(x0, self.dtype),
                             jnp.asarray(Xbar0, self.dtype),
                             jnp.asarray(Ubar0, self.dtype))
         self.state = jax.block_until_ready(s)
+        self._record_solve_time(t0)
         self.plan_np = plan_np
         self.meta = meta
         self._update_foot_placement()
         self._publish_solver_info()
         return self.command_tape()
 
-    def update(self, x_meas):
-        """One MPC re-solve at the new measured state (HKDMPC.cpp:97-166)."""
-        self.qr.step(self.dt_mpc)
-        self.mpc_time += self.dt_mpc
+    def update(self, x_meas, dt=None):
+        """One MPC re-solve at the new measured state (HKDMPC.cpp:97-166).
+
+        dt: actual elapsed MPC time since the previous solve (defaults to
+        the nominal dt_mpc).  serve() passes the delta derived from the
+        incoming message's mpctime so dropped state messages cannot desync
+        the MPC clock / reference window from the robot (HKDMPC.cpp:188
+        sets mpc_time from the message)."""
+        dt = self.dt_mpc if dt is None else dt
+        self.qr.step(dt)
+        self.mpc_time += dt
+        import time as _time
         plan_np, pen_np, Xbar0, Ubar0, meta = self._build()
         Xb, Ub = self._warm_start(plan_np, meta, Xbar0, Ubar0)
         plan = host_plan_to_device(plan_np, self.dtype)
         pen = hp.pen_to_device(pen_np, self.dtype)
+        t0 = _time.perf_counter()
         s = self.solve_rt(plan, pen, jnp.asarray(x_meas, self.dtype),
                           jnp.asarray(Xb, self.dtype),
                           jnp.asarray(Ub, self.dtype))
         self.state = jax.block_until_ready(s)
+        self._record_solve_time(t0)
         self.plan_np = plan_np
         self.meta = meta
         self._update_foot_placement()
@@ -154,7 +180,8 @@ class HKDMPCRuntime:
         st = self.state
         msg = w.solver_info_lcmt(
             n_iter=int(st.info.iters), n_ls_iter=int(st.info.ls_iters),
-            n_reg_iter=int(st.info.reg_iters), solve_time=0.0,
+            n_reg_iter=int(st.info.reg_iters),
+            solve_time=self.last_solve_ms,
             cost=float(st.cost), dyn_feas=float(st.feas),
             ineq_violation=float(st.max_pconstr),
             eq_violation=float(st.max_tconstr))
@@ -241,10 +268,18 @@ class HKDMPCRuntime:
                 jnp.asarray(np.asarray(msg.contact, dtype=float),
                             self.dtype))
             x = np.concatenate([body, np.asarray(qdummy)])
+            # sync the MPC clock to the robot's (HKDMPC.cpp:188): with
+            # latest-state-wins supersession, a dropped message must not
+            # leave the reference window behind real time
+            t_msg = float(getattr(msg, "mpctime", 0.0))
+            delta = t_msg - self.mpc_time
             if msg.reset_mpc or self.state is None:
+                if delta > 1e-12:
+                    self.qr.step(delta)
+                self.mpc_time = t_msg
                 self.initialize(x)
             else:
-                self.update(x)
+                self.update(x, dt=delta if delta > 1e-12 else None)
             cmd = self.command_message(
                 solve_time=_time.perf_counter() - t0)
             endpoint.publish(cmd_channel, cmd)
@@ -279,12 +314,20 @@ class HKDMPCRuntime:
         active = np.asarray(plan.step.active)
         is_reset = np.asarray(plan.step.is_reset)
         dyn_idx = np.where((active > 0) & (is_reset == 0))[0][:n]
-        # map each dyn step to its phase for contact/status
+        # map each dyn step to its phase for contact/status durations
+        # (HKDMPC.cpp:281: statusTimes[k] = contact_durations[phase(k)])
         contacts = np.asarray(plan.step.contact)[dyn_idx]
         status = np.zeros((len(dyn_idx), 4))
-        durs = {i: d for i, (ts, te, h, c) in enumerate(
-            self.meta["phases"])
-            for d in [np.asarray(self.qr.contact_duration_at_t(ts))]}
+        spans, j = [], 0
+        for (ts, te, h, c) in self.meta["phases"]:
+            spans.append((j, j + h,
+                          np.asarray(self.qr.contact_duration_at_t(ts))))
+            j += h + 1
+        for ii, k in enumerate(dyn_idx):
+            for (s0, s1, dur) in spans:
+                if s0 <= k < s1:
+                    status[ii] = dur
+                    break
         info = dict(
             cost=np.asarray(self.state.info.cost_buf[
                 :int(self.state.info.n_entries)]),

@@ -57,6 +57,23 @@ class ProblemFns(NamedTuple):
     term_con_partials: Callable   # (x, kd) -> hx [n_tcon, xs]
 
 
+class SegmentedFns(NamedTuple):
+    """Static per-segment problem functions for cascaded plans.
+
+    Segment i owns steps [sum(counts[:i]), sum(counts[:i+1])) of the flat
+    plan (and the matching knots; the last segment also owns the final
+    knot).  The solver vmaps each segment's callables over its own slice
+    only, so one model's (expensive) dynamics/partials are never evaluated
+    on the other's knots — the two-segment analogue of the reference's
+    per-phase LQ approximation touching only its own model
+    (SinglePhase.cpp:265-320).  Requires the plan to place each model's
+    steps at static offsets (mhpc_problem.build_mhpc_plan's carry-pad
+    layout).
+    """
+    counts: tuple   # static ints, sum == n_steps
+    fns: tuple      # ProblemFns per segment
+
+
 class TrajState(NamedTuple):
     """Working trajectory data (reference TrajectoryManagement.h:22-85)."""
     Xbar: Any; Ubar: Any; Defect_bar: Any
@@ -127,27 +144,90 @@ class SolveResult(NamedTuple):
     info: SolverInfo
 
 
-def make_solver(fns: ProblemFns, opts: SolverOptions, *, all_shooting=True,
+def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
                 info_len=64, trim_output=False,
                 parallel_linear_rollout=True, parallel_riccati=False,
                 parallel_line_search=True, fused_riccati=False,
-                fused_linroll=None):
+                fused_linroll=None, max_resets=None):
     """Build the jit-ready ``solve(plan, pen, x0, Xbar0, Ubar0)`` function.
 
+    fns: a ProblemFns, or a SegmentedFns for cascaded plans with a static
+    per-model step layout.
     all_shooting: static flag — every active knot is a shooting state (the
     reference's update_SS_config(horizon+1) configuration), enabling the
     vmap-parallel rollout.
     trim_output: return a small SolveResult instead of the full SolverState
     (lets XLA drop the large per-knot temporaries from the outputs).
+    max_resets: static cap on reset steps per segment.  When set, the reset
+    map and its partial are evaluated ONLY at the (gathered) reset steps
+    instead of masked-evaluated on every knot — the reference likewise
+    evaluates resetmap_partial only at phase boundaries
+    (MultiPhaseDDP.cpp:196-200).  Matters when the reset involves the
+    impact KKT solve (MHPC).
     """
+    segmented = isinstance(fns, SegmentedFns)
+    if segmented:
+        seg_counts = tuple(int(c) for c in fns.counts)
+        seg_fns = tuple(fns.fns)
+        if not (all_shooting and opts.MS):
+            raise ValueError("SegmentedFns requires the all-shooting "
+                             "multiple-shooting configuration")
+
+    def vmap_over(make_fn, n_extra=0):
+        """vmap a per-knot callable over the leading axis; for segmented
+        fns each segment's slice maps with its own callable, outputs
+        concatenated.  n_extra=1 for knot arrays (N+1: the last segment
+        owns the terminal knot)."""
+        if not segmented:
+            return jax.vmap(make_fn(fns))
+
+        def apply(*args):
+            outs, o = [], 0
+            for i, (cnt, f) in enumerate(zip(seg_counts, seg_fns)):
+                c = cnt + (n_extra if i == len(seg_counts) - 1 else 0)
+                sl = jax.tree.map(lambda a: a[o:o + c], args)
+                outs.append(jax.vmap(make_fn(f))(*sl))
+                o += c
+            return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),
+                                *outs)
+        return apply
+
+    def _make_step_sim(f):
+        def step_sim(x, u, sd):
+            xn_dyn, y = f.dyn(x, u, sd)
+            xn_res = f.reset(x, sd)
+            xn = jnp.where(sd.is_reset > 0, xn_res, xn_dyn)
+            return xn, y
+        return step_sim
+
+    v_dyn = vmap_over(lambda f: f.dyn)
+    v_step_sim = vmap_over(_make_step_sim)
+    v_dyn_partials = vmap_over(lambda f: f.dyn_partials)
+    v_reset_partial = vmap_over(lambda f: f.reset_partial)
+    v_run_cost = vmap_over(lambda f: f.run_cost)
+    v_run_cost_partials = vmap_over(lambda f: f.run_cost_partials)
+    v_path_con = vmap_over(lambda f: f.path_con)
+    v_path_con_partials = vmap_over(lambda f: f.path_con_partials)
+    v_term_cost = vmap_over(lambda f: f.term_cost, n_extra=1)
+    v_term_cost_partials = vmap_over(lambda f: f.term_cost_partials,
+                                     n_extra=1)
+    v_term_con = vmap_over(lambda f: f.term_con, n_extra=1)
+    v_term_con_partials = vmap_over(lambda f: f.term_con_partials, n_extra=1)
+
+    def _reset_sites(sd):
+        """Per segment: (offset, fns, gathered indices, validity mask)."""
+        segs = (list(zip(seg_counts, seg_fns)) if segmented
+                else [(sd.active.shape[0], fns)])
+        o, sites = 0, []
+        for cnt, f in segs:
+            is_r = sd.is_reset[o:o + cnt]
+            idx = jnp.nonzero(is_r > 0, size=max_resets, fill_value=0)[0]
+            valid = jnp.take(is_r, idx) > 0
+            sites.append((o, cnt, f, idx, valid))
+            o += cnt
+        return sites
 
     # ---------------- rollout ----------------------------------------
-    def _step_sim(x, u, sd):
-        xn_dyn, y = fns.dyn(x, u, sd)
-        xn_res = fns.reset(x, sd)
-        xn = jnp.where(sd.is_reset > 0, xn_res, xn_dyn)
-        return xn, y
-
     def rollout(plan, tr: TrajState, x0, eps):
         """Hybrid rollout (SinglePhase.cpp:182-233 + MultiPhaseDDP.cpp:49-92
         flattened).  Returns updated (X, U, Y, Xsim, Defect, ok)."""
@@ -158,17 +238,29 @@ def make_solver(fns: ProblemFns, opts: SolverOptions, *, all_shooting=True,
             X = tr.Xbar + eps * tr.dX
             dx = X[:-1] - tr.Xbar[:-1]
             U = tr.Ubar + eps * tr.dU + jnp.einsum("kij,kj->ki", tr.K, dx)
-            Xsim_next, Y = jax.vmap(_step_sim)(X[:-1], U, sd)
+            if max_resets is None:
+                Xsim_next, Y = v_step_sim(X[:-1], U, sd)
+            else:
+                Xsim_next, Y = v_dyn(X[:-1], U, sd)
+                for (o, cnt, f, idx, valid) in _reset_sites(sd):
+                    x_g = X[o:o + cnt][idx]
+                    sd_g = jax.tree.map(lambda a: a[o:o + cnt][idx], sd)
+                    xr = jax.vmap(f.reset)(x_g, sd_g)
+                    rows = jnp.where(valid[:, None], xr,
+                                     Xsim_next[o:o + cnt][idx])
+                    Xsim_next = Xsim_next.at[o + idx].set(rows)
             Xsim_next = jnp.where(sd.active[:, None] > 0, Xsim_next, X[1:])
             Xsim = jnp.concatenate([x0[None, :], Xsim_next], axis=0)
         else:
             # Sequential single-shooting rollout (option.MS == false path,
             # SinglePhase.cpp:182-233 with an empty shooting-state set).
+            step_sim = _make_step_sim(fns)
+
             def ss_body(carry, inp):
                 x = carry
                 sd_k, xbar_k, ubar_k, dU_k, K_k = inp
                 u = ubar_k + eps * dU_k + K_k @ (x - xbar_k)
-                xn, y = _step_sim(x, u, sd_k)
+                xn, y = step_sim(x, u, sd_k)
                 xn = jnp.where(sd_k.active > 0, xn, x)
                 return xn, (x, u, y, xn)
             inp = (sd, tr.Xbar[:-1], tr.Ubar, tr.dU, tr.K)
@@ -182,8 +274,8 @@ def make_solver(fns: ProblemFns, opts: SolverOptions, *, all_shooting=True,
 
     # ---------------- cost -------------------------------------------
     def eval_constraints(plan, tr):
-        g = jax.vmap(fns.path_con)(tr.X[:-1], tr.U, tr.Y, plan.step)
-        h = jax.vmap(fns.term_con)(tr.X, plan.knot)
+        g = v_path_con(tr.X[:-1], tr.U, tr.Y, plan.step)
+        h = v_term_con(tr.X, plan.knot)
         return g, h
 
     def compute_cost(plan, pen: PenaltyParams, tr: TrajState):
@@ -192,7 +284,7 @@ def make_solver(fns: ProblemFns, opts: SolverOptions, *, all_shooting=True,
         reference)."""
         sd, kd = plan.step, plan.knot
         run_mask = sd.active * (1.0 - sd.is_reset)
-        l = jax.vmap(fns.run_cost)(tr.X[:-1], tr.U, tr.Y, sd)
+        l = v_run_cost(tr.X[:-1], tr.U, tr.Y, sd)
         g, h = eval_constraints(plan, tr)
         if opts.ReB_active:
             reb = jax.vmap(penalty.reb_cost)(g, pen.reb_delta, pen.reb_eps,
@@ -200,7 +292,7 @@ def make_solver(fns: ProblemFns, opts: SolverOptions, *, all_shooting=True,
             l = l + sd.dt * reb
         run = jnp.sum(l * run_mask)
         term_mask = kd.active * kd.is_terminal
-        phi = jax.vmap(fns.term_cost)(tr.X, kd)
+        phi = v_term_cost(tr.X, kd)
         if opts.AL_active:
             al = jax.vmap(penalty.al_cost)(h, pen.al_lambda, pen.al_sigma,
                                            pen.al_active)
@@ -222,20 +314,33 @@ def make_solver(fns: ProblemFns, opts: SolverOptions, *, all_shooting=True,
     def lq_approx(plan, pen, tr: TrajState):
         """(SinglePhase.cpp:265-320), batched."""
         sd, kd = plan.step, plan.knot
-        A_d, B_d, C, D = jax.vmap(fns.dyn_partials)(tr.X[:-1], tr.U, sd)
-        P = jax.vmap(fns.reset_partial)(tr.X[:-1], sd)
+        A_d, B_d, C, D = v_dyn_partials(tr.X[:-1], tr.U, sd)
         is_r = sd.is_reset[:, None, None]
         act = sd.active[:, None, None]
-        A = jnp.where(is_r > 0, P, A_d) * act
-        B = jnp.where(is_r > 0, jnp.zeros_like(B_d), B_d) * act
+        if max_resets is None:
+            P = v_reset_partial(tr.X[:-1], sd)
+            A = jnp.where(is_r > 0, P, A_d) * act
+            B = jnp.where(is_r > 0, jnp.zeros_like(B_d), B_d) * act
+        else:
+            A, B = A_d, B_d
+            for (o, cnt, f, idx, valid) in _reset_sites(sd):
+                x_g = tr.X[o:o + cnt][idx]
+                sd_g = jax.tree.map(lambda a: a[o:o + cnt][idx], sd)
+                P_g = jax.vmap(f.reset_partial)(x_g, sd_g)
+                vm = valid[:, None, None]
+                A = A.at[o + idx].set(jnp.where(vm, P_g, A[o:o + cnt][idx]))
+                B = B.at[o + idx].set(
+                    jnp.where(vm, 0.0, B[o:o + cnt][idx]))
+            A = A * act
+            B = B * act
         C = C * (1.0 - sd.is_reset)[:, None, None] * act
         D = D * (1.0 - sd.is_reset)[:, None, None] * act
 
-        lx, lu, ly, lxx, luu, lux, lyy = jax.vmap(fns.run_cost_partials)(
+        lx, lu, ly, lxx, luu, lux, lyy = v_run_cost_partials(
             tr.X[:-1], tr.U, tr.Y, sd)
         if opts.ReB_active:
-            g = jax.vmap(fns.path_con)(tr.X[:-1], tr.U, tr.Y, sd)
-            gx, gu, gy = jax.vmap(fns.path_con_partials)(
+            g = v_path_con(tr.X[:-1], tr.U, tr.Y, sd)
+            gx, gu, gy = v_path_con_partials(
                 tr.X[:-1], tr.U, tr.Y, sd)
             rb = jax.vmap(penalty.reb_partials)(
                 g, gx, gu, gy, pen.reb_delta, pen.reb_eps, pen.reb_active)
@@ -247,10 +352,10 @@ def make_solver(fns: ProblemFns, opts: SolverOptions, *, all_shooting=True,
             luu = luu + dt[:, None, None] * rb[4]
             lyy = lyy + dt[:, None, None] * rb[5]
 
-        phix, phixx = jax.vmap(fns.term_cost_partials)(tr.X, kd)
+        phix, phixx = v_term_cost_partials(tr.X, kd)
         if opts.AL_active:
-            h = jax.vmap(fns.term_con)(tr.X, kd)
-            hx = jax.vmap(fns.term_con_partials)(tr.X, kd)
+            h = v_term_con(tr.X, kd)
+            hx = v_term_con_partials(tr.X, kd)
             ag, ah = jax.vmap(penalty.al_partials)(
                 h, hx, pen.al_lambda, pen.al_sigma, pen.al_active)
             phix = phix + ag

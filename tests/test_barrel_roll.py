@@ -5,6 +5,10 @@ Checks physical plausibility the way the reference harness does (it
 publishes centroidal momentum for inspection): the optimized motion must
 complete a full 2*pi body roll, respect the torque barrier, and keep the
 dynamics defects small."""
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # heavy 6-phase WB TO
+
 import dataclasses
 
 import jax

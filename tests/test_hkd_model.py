@@ -109,6 +109,51 @@ def test_reset_partial_vs_fd():
         assert np.abs(np.asarray(P[:, i] - fd)).max() < 1e-6
 
 
+def test_reset_partial_closed_form_matches_ad(rng):
+    """Closed-form reset_map_partial == jacfwd over all 4 transition kinds
+    per leg (keep / touchdown / liftoff)."""
+    cases = [([1.0, 0.0, 1.0, 0.0], [0.0, 1.0, 1.0, 0.0]),
+             ([0.0, 0.0, 0.0, 0.0], [1.0, 1.0, 1.0, 1.0]),
+             ([1.0, 1.0, 1.0, 1.0], [0.0, 0.0, 0.0, 0.0]),
+             ([1.0, 0.0, 0.0, 1.0], [1.0, 0.0, 0.0, 1.0])]
+    for cc, cn in cases:
+        x = jnp.asarray(rng.normal(size=24) * 0.4)
+        P1 = hkd.reset_map_partial(x, jnp.asarray(cc), jnp.asarray(cn))
+        P2 = hkd.reset_map_partial_ad(x, jnp.asarray(cc), jnp.asarray(cn))
+        np.testing.assert_allclose(np.asarray(P1), np.asarray(P2),
+                                   rtol=1e-9, atol=1e-12)
+
+
+def test_foot_world_jacobians_match_ad(rng):
+    for leg in range(4):
+        pos = jnp.asarray(rng.normal(size=3) * 0.3)
+        eul = jnp.asarray(rng.normal(size=3) * 0.5)
+        qleg = jnp.asarray(rng.normal(size=3) * 0.8)
+        J_eul, J_q = hkd.foot_world_jacobians(pos, eul, qleg, leg)
+        Je_ad = jax.jacfwd(lambda e: hkd.foot_position(pos, e, qleg, leg))(
+            eul)
+        Jq_ad = jax.jacfwd(lambda q: hkd.foot_position(pos, eul, q, leg))(
+            qleg)
+        np.testing.assert_allclose(np.asarray(J_eul), np.asarray(Je_ad),
+                                   rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(J_q), np.asarray(Jq_ad),
+                                   rtol=1e-9, atol=1e-12)
+
+
+def test_touchdown_height_partials_match_ad(rng):
+    x = jnp.asarray(rng.normal(size=24) * 0.4)
+
+    def h(x_):
+        return jnp.stack([hkd.foot_position(
+            x_[3:6], x_[0:3], x_[12 + 3 * leg:15 + 3 * leg], leg)[2]
+            for leg in range(4)])
+
+    hx = hkd.touchdown_height_partials(x)
+    hx_ad = jax.jacfwd(h)(x)
+    np.testing.assert_allclose(np.asarray(hx), np.asarray(hx_ad),
+                               rtol=1e-9, atol=1e-12)
+
+
 def test_analytic_partials_match_ad(rng):
     """Closed-form dynamics_partials == jacfwd partials at random states."""
     import jax.numpy as jnp

@@ -139,3 +139,21 @@ def test_trajectory_logging(solved, tmp_path):
     n_phases = len(meta["phases"])
     n_active = int(np.asarray(plan.knot.active).sum())
     assert X.shape[0] == n_active
+
+
+def test_gather_reset_matches_masked(solved):
+    """max_resets gather-based reset evaluation (the bench configuration)
+    == the mask-everywhere default, end to end."""
+    s_ref, plan, meta = solved
+    plan_, pen, x0, Xb, Ub, _ = build()
+    opts = load_solver_options(f"{REF_SETTINGS}/ddp_setting.info")
+    solve_g = jax.jit(make_solver(hp.make_hkd_fns(), opts, max_resets=16))
+    s_g = solve_g(plan_, pen, x0, Xb, Ub)
+    np.testing.assert_allclose(np.asarray(s_g.traj.Xbar),
+                               np.asarray(s_ref.traj.Xbar),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(s_g.traj.Ubar),
+                               np.asarray(s_ref.traj.Ubar),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(float(s_g.cost), float(s_ref.cost),
+                               rtol=1e-10)

@@ -68,6 +68,7 @@ def solved():
     return s, plan_np, meta
 
 
+@pytest.mark.slow
 def test_cascaded_solve_converges(solved):
     s, plan_np, meta = solved
     assert bool(s.success)
@@ -79,6 +80,7 @@ def test_cascaded_solve_converges(solved):
     assert float(s.max_tconstr) < 5e-2
 
 
+@pytest.mark.slow
 def test_srb_segment_dead_dims_zero(solved):
     s, plan_np, meta = solved
     Xbar = np.asarray(s.traj.Xbar)
@@ -89,6 +91,7 @@ def test_srb_segment_dead_dims_zero(solved):
     assert np.abs(Xbar[srb_knots][:, dead]).max() < 1e-9
 
 
+@pytest.mark.slow
 def test_grf_z_nonnegative_in_stance(solved):
     s, plan_np, meta = solved
     Y = np.asarray(s.traj.Y)

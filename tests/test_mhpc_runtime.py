@@ -1,5 +1,9 @@
 """Cascaded MHPC receding-horizon runtime test (MHPCLocomotion analogue):
 initialize + one MPC update, command-tape message integrity."""
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # multi-update receding-horizon WB solves
+
 import dataclasses
 
 import jax.numpy as jnp
