@@ -43,6 +43,12 @@ L2 = 0.209   # thigh
 L3 = 0.195   # shank
 QLEG_DEFAULT = jnp.array([0.0, -0.8, 1.7])  # HKDReset.h:37
 
+# constant one-hot placement [4,3,12]: leg l's 3-vector into qdummy cols
+import numpy as _np
+_QD_PLACE = _np.zeros((4, 3, 12))
+for _l in range(4):
+    _QD_PLACE[_l, :, 3 * _l:3 * _l + 3] = _np.eye(3)
+
 
 def leg_fk_local(qleg, leg):
     """Foot position in the body frame for one leg.
@@ -249,22 +255,32 @@ def dynamics_partials(x, u, dt, contact):
     dwd_dgrf = (Iinv[:, None, None] * dwd_dgrf).reshape(3, 12)
 
     # --- assemble continuous-time Jacobians ------------------------
+    # Built by CONCATENATION of blocks, not .at[slice].set chains: under
+    # the solver's [B, N] double-vmap every sequential slice-set becomes a
+    # full-buffer dynamic-update-slice copy of the [B,N,24,24] array
+    # (~40 ms/solve at B=256 in the round-2 trace); concatenation fuses.
     I3 = jnp.eye(3, dtype=dtype)
-    Fx = jnp.zeros((24, 24), dtype)
-    Fx = Fx.at[0:3, 0:3].set(deuld_deul)
-    Fx = Fx.at[0:3, 6:9].set(W)
-    Fx = Fx.at[3:6, 9:12].set(I3)
-    Fx = Fx.at[6:9, 0:3].set(dwd_deul)
-    Fx = Fx.at[6:9, 3:6].set(dwd_dpos)
-    Fx = Fx.at[6:9, 6:9].set(dwd_domega)
-    Fx = Fx.at[6:9, 12:24].set(dwd_dqd)
+    Z33 = jnp.zeros((3, 3), dtype)
+    Z3_12 = jnp.zeros((3, 12), dtype)
+    row_eul = jnp.concatenate([deuld_deul, Z33, W, Z33, Z3_12], axis=1)
+    row_pos = jnp.concatenate([Z33, Z33, Z33, I3, Z3_12], axis=1)
+    row_omg = jnp.concatenate([dwd_deul, dwd_dpos, dwd_domega, Z33,
+                               dwd_dqd], axis=1)
+    row_vel = jnp.zeros((3, 24), dtype)
+    row_qd = jnp.zeros((12, 24), dtype)
+    Fx = jnp.concatenate([row_eul, row_pos, row_omg, row_vel, row_qd],
+                         axis=0)
 
-    Fu = jnp.zeros((24, 24), dtype)
-    Fu = Fu.at[6:9, 0:12].set(dwd_dgrf)
-    Fu = Fu.at[9:12, 0:12].set(jnp.kron(
-        contact[None, :], I3).reshape(3, 12) / MASS)
+    Z12 = jnp.zeros((3, 12), dtype)
+    u_omg = jnp.concatenate([dwd_dgrf, Z12], axis=1)
+    u_vel = jnp.concatenate([jnp.kron(contact[None, :], I3)
+                             .reshape(3, 12) / MASS, Z12], axis=1)
     swing = 1.0 - jnp.repeat(contact, 3)
-    Fu = Fu.at[12:24, 12:24].set(jnp.diag(swing))
+    u_qd = jnp.concatenate([jnp.zeros((12, 12), dtype),
+                            swing[:, None] * jnp.eye(12, dtype=dtype)],
+                           axis=1)
+    Fu = jnp.concatenate([jnp.zeros((6, 24), dtype), u_omg, u_vel, u_qd],
+                         axis=0)
 
     A = jnp.eye(24, dtype=dtype) + dt * Fx
     B = dt * Fu
@@ -400,10 +416,10 @@ def touchdown_height_partials(x):
     heul = p_l @ dR_z.T                             # [4,3]
     # z-row of R J_loc per leg: [4,3]
     hq = jnp.einsum("j,ljk->lk", R[2], J_loc)
-    hpos = jnp.zeros((4, 3), dtype).at[:, 2].set(1.0)
+    hpos = jnp.tile(jnp.array([0.0, 0.0, 1.0], dtype), (4, 1))
     zmid = jnp.zeros((4, 6), dtype)
-    # qdummy block-diagonal placement
-    hqd = jnp.zeros((4, 12), dtype)
-    for leg in range(4):
-        hqd = hqd.at[leg, 3 * leg:3 * leg + 3].set(hq[leg])
+    # qdummy block-diagonal placement via a constant one-hot tensor
+    # (per-leg slice-sets would lower to dynamic-update-slice copies)
+    E = jnp.asarray(_QD_PLACE, dtype)                # [4,3,12]
+    hqd = jnp.einsum("lk,lkp->lp", hq, E)
     return jnp.concatenate([heul, hpos, zmid, hqd], axis=1)

@@ -239,6 +239,31 @@ def _facets(dtype=jnp.float64):
                       [0.0, 1.0, MU_FRIC]])
 
 
+def _np_facets():
+    return np.array([[0.0, 0.0, 1.0],
+                     [-1.0, 0.0, MU_FRIC],
+                     [1.0, 0.0, MU_FRIC],
+                     [0.0, -1.0, MU_FRIC],
+                     [0.0, 1.0, MU_FRIC]])
+
+
+# constant constraint Jacobian d g / d u (block-diag facets per leg) —
+# precomputed in numpy so the vmapped partials never rebuild it with
+# slice-set chains (which lower to per-knot dynamic-update-slice copies)
+_GU_CONST = np.zeros((20, 24))
+for _leg in range(4):
+    _GU_CONST[5 * _leg:5 * _leg + 5, 3 * _leg:3 * _leg + 3] = _np_facets()
+
+# foot-place reg placement constants: d prel/dx = c3 * (E_BLK - E_TILE)
+# (HKDCost.h:61-68): identity blocks on the leg's own qdummy columns minus
+# the CoM-position tile
+_E_BLK = np.zeros((12, 24))
+_E_TILE = np.zeros((12, 24))
+for _leg in range(4):
+    _E_BLK[3 * _leg:3 * _leg + 3, 12 + 3 * _leg:15 + 3 * _leg] = np.eye(3)
+_E_TILE[:, 3:6] = np.tile(np.eye(3), (4, 1))
+
+
 def _tracking_weights(contact):
     """Contact-modulated diagonal weights (HKDCost.h:13-36)."""
     q_eul = jnp.array([1.0, 4.0, 4.0])
@@ -271,14 +296,11 @@ def _d_prel(x, pf_ref, com_ref):
 
 
 def _dprel_dx(contact):
-    """(HKDCost.h:61-68): d prel / dx, [12, 24]."""
+    """(HKDCost.h:61-68): d prel / dx, [12, 24] — contact mask times
+    constant placement matrices (no per-knot slice-set chains)."""
     c3 = jnp.repeat(contact, 3)
-    D = jnp.zeros((12, 24))
-    D = D.at[:, 3:6].set(-jnp.tile(jnp.eye(3), (4, 1)) * c3[:, None])
-    for leg in range(4):
-        D = D.at[3 * leg:3 * leg + 3, 12 + 3 * leg:15 + 3 * leg].set(
-            jnp.eye(3) * contact[leg])
-    return D
+    E = jnp.asarray(_E_BLK - _E_TILE, contact.dtype)
+    return c3[:, None] * E
 
 
 def make_hkd_fns() -> ProblemFns:
@@ -365,10 +387,7 @@ def make_hkd_fns() -> ProblemFns:
         return g
 
     def path_con_partials(x, u, y, sd):
-        F = _facets().astype(x.dtype)
-        gu = jnp.zeros((20, 24), x.dtype)
-        for leg in range(4):
-            gu = gu.at[5 * leg:5 * leg + 5, 3 * leg:3 * leg + 3].set(F)
+        gu = jnp.asarray(_GU_CONST, x.dtype)
         gx = jnp.zeros((20, 24), x.dtype)
         gy = jnp.zeros((20, 0), x.dtype)
         return gx, gu, gy

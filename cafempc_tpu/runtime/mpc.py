@@ -46,14 +46,21 @@ class CommandTape:
 
 class HKDMPCRuntime:
     def __init__(self, quad_ref: QuadReference, cfg: hp.HKDConfig,
-                 opts: SolverOptions, dtype=jnp.float64, endpoint=None):
+                 opts: SolverOptions, dtype=jnp.float64, endpoint=None,
+                 debug_intermtraj=False):
+        """debug_intermtraj: publish solver_intermtraj_lcmt on the
+        reference's "intermediate_ddp_traj" channel after every AL outer
+        iteration (MultiPhaseDDP.h:95-107); requires `endpoint`."""
         self.endpoint = endpoint   # optional comms.udpm.LCMEndpoint
         self.qr = quad_ref
         self.cfg = cfg
         self.dtype = dtype
         self.fns = hp.make_hkd_fns()
-        self.solve_init = jax.jit(make_solver(self.fns, opts))
-        self.solve_rt = jax.jit(make_solver(self.fns, opts.runtime()))
+        cb = self._intermtraj_callback if debug_intermtraj else None
+        self.solve_init = jax.jit(make_solver(self.fns, opts,
+                                              iter_callback=cb))
+        self.solve_rt = jax.jit(make_solver(self.fns, opts.runtime(),
+                                            iter_callback=cb))
         self.dt_mpc = cfg.nsteps_between_mpc * cfg.dt_sim
         self.mpc_time = 0.0
         self.state = None
@@ -171,6 +178,21 @@ class HKDMPCRuntime:
         self._update_foot_placement()
         self._publish_solver_info()
         return self.command_tape()
+
+    def _intermtraj_callback(self, Xbar, Ubar, it):
+        """io_callback target: encode the current nominal trajectory as
+        solver_intermtraj_lcmt (publish_trajectory,
+        MultiPhaseDDP.h:95-107)."""
+        if self.endpoint is None:
+            return
+        from cafempc_tpu.comms import lcm_wire as w
+        X = np.asarray(Xbar, dtype=float)
+        U = np.asarray(Ubar, dtype=float)
+        msg = w.solver_intermtraj_lcmt(
+            tau_sz=X.shape[0], x_sz=X.shape[1], u_sz=U.shape[1])
+        msg.x_tau = X
+        msg.u_tau = np.concatenate([U, U[-1:]], axis=0)
+        self.endpoint.publish("intermediate_ddp_traj", msg)
 
     def _publish_solver_info(self):
         """solver_info_lcmt telemetry (MHPCLocomotion.cpp:74-79)."""

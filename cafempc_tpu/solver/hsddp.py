@@ -148,7 +148,7 @@ def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
                 info_len=64, trim_output=False,
                 parallel_linear_rollout=True, parallel_riccati=False,
                 parallel_line_search=True, fused_riccati=False,
-                fused_linroll=None, max_resets=None):
+                fused_linroll=None, max_resets=None, iter_callback=None):
     """Build the jit-ready ``solve(plan, pen, x0, Xbar0, Ubar0)`` function.
 
     fns: a ProblemFns, or a SegmentedFns for cascaded plans with a static
@@ -164,6 +164,11 @@ def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
     evaluates resetmap_partial only at phase boundaries
     (MultiPhaseDDP.cpp:196-200).  Matters when the reset involves the
     impact KKT solve (MHPC).
+    iter_callback: optional host callback ``f(Xbar, Ubar, iter)`` invoked
+    (via io_callback) after every AL outer iteration — the analogue of the
+    reference's intermediate-trajectory debug publishing
+    (MultiPhaseDDP.h:95-107, channel "intermediate_ddp_traj").  Costs a
+    device->host sync per outer iteration; debug only.
     """
     segmented = isinstance(fns, SegmentedFns)
     if segmented:
@@ -938,7 +943,12 @@ def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
 
         def outer_b(c):
             s_, it = c
-            return (outer_body(plan, s_), it + 1)
+            s2 = outer_body(plan, s_)
+            if iter_callback is not None:
+                from jax.experimental import io_callback
+                io_callback(iter_callback, None, s2.traj.Xbar,
+                            s2.traj.Ubar, it, ordered=True)
+            return (s2, it + 1)
 
         s, _ = jax.lax.while_loop(outer_cond, outer_b, (s, jnp.int32(0)))
         if trim_output:

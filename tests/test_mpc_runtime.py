@@ -69,3 +69,52 @@ def test_closed_loop_mpc(gait):
     assert tape.controls.shape[0] == cfg.nsteps_between_mpc + 7
     assert tape.feedback.shape[1:] == (12, 12)
     assert np.isfinite(tape.controls).all()
+
+
+def test_intermediate_trajectory_channel():
+    """solver_intermtraj_lcmt published per AL outer iteration on the
+    reference's intermediate_ddp_traj channel (MultiPhaseDDP.h:95-107)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import pytest
+    from cafempc_tpu.comms import lcm_wire as w
+    from cafempc_tpu.models import hkd
+    from cafempc_tpu.problems import hkd_problem as hp
+    from cafempc_tpu.reference.quad_reference import (QuadReference,
+                                                      load_quad_reference)
+    from cafempc_tpu.solver.options import SolverOptions
+    try:
+        from cafempc_tpu.comms.udpm import LCMEndpoint
+        server_ep = LCMEndpoint()
+        client_ep = LCMEndpoint()
+    except OSError:
+        pytest.skip("multicast sockets unavailable")
+    qr = QuadReference(load_quad_reference(
+        "/root/reference/Reference/Data/bound/quad_reference.csv",
+        reorder=True))
+    qr.initialize(0.2)
+    cfg = hp.HKDConfig(plan_duration=0.2, n_steps_max=24)
+    opts = SolverOptions(max_AL_iter=2, max_DDP_iter=1)
+    rt = HKDMPCRuntime(qr, cfg, opts, dtype=jnp.float64,
+                       endpoint=server_ep, debug_intermtraj=True)
+    got = []
+    client_ep.subscribe("intermediate_ddp_traj", w.solver_intermtraj_lcmt,
+                        lambda ch, m: got.append(m))
+    body = np.zeros(12)
+    body[5] = 0.2486
+    qJ = np.array([0.0, -0.8, 1.6] * 4)
+    qd = np.asarray(hkd.compute_hkd_state(
+        jnp.asarray(body[0:3]), jnp.asarray(body[3:6]), jnp.asarray(qJ),
+        jnp.ones(4)))
+    rt.initialize(np.concatenate([body, qd]))
+    for _ in range(50):
+        client_ep.handle(timeout=0.1)
+        if len(got) >= 2:
+            break
+    # one message per AL outer iteration that ran
+    assert len(got) >= 1
+    m = got[0]
+    assert m.x_sz == 24 and m.u_sz == 24
+    assert np.all(np.isfinite(m.x_tau))
+    server_ep.close()
+    client_ep.close()

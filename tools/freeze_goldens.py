@@ -20,14 +20,14 @@ import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
     _os.path.abspath(__file__))))
 
-# hard override: the image exports JAX_PLATFORMS=axon (TPU tunnel); the
-# goldens are defined as f64 CPU solves
-_os.environ["JAX_PLATFORMS"] = "cpu"
-
 import dataclasses
 import os
 
 import jax
+# hard override: the image exports JAX_PLATFORMS=axon (TPU tunnel) and
+# sitecustomize imports jax at interpreter start, so the env var must be
+# overridden via config, not os.environ.  Goldens are f64 CPU solves.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
