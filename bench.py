@@ -104,8 +104,10 @@ def build_mhpc(dtype):
         "/root/reference/MHPC/settings/ddp_setting.info")
     opts = dataclasses.replace(opts, max_AL_iter=4, max_DDP_iter=1)
     x0 = np.asarray(wb_state_ref_at(qr, 0.0), dtype=np.float32)
-    return (mp.make_mhpc_fns(cfg), opts, plan, pen, x0, Xbar0, Ubar0,
-            "mhpc_cascaded_solves_per_s")
+    # two-segment LQ fan-out: WB Jacobians never evaluated on SRB knots
+    # and vice versa (SegmentedFns; VERDICT r1 #2)
+    return (mp.make_mhpc_fns_segmented(cfg), opts, plan, pen, x0, Xbar0,
+            Ubar0, "mhpc_cascaded_solves_per_s")
 
 
 def main():

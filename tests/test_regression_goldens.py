@@ -45,22 +45,48 @@ def test_hkd_bound_f64_matches_golden(fixtures_dir):
     assert int(s.info.iters) == int(g["iters"])
 
 
-def test_hkd_bound_f32_within_tolerance(fixtures_dir):
-    """The TPU bench configuration (f32, gather-reset) against the f64
-    golden: states/controls to ~1e-3, cost to 0.1%."""
+def test_hkd_bound_f32_within_tolerance(fixtures_dir, tmp_path):
+    """The TPU bench configuration (f32 end to end, x64 OFF, gather-reset)
+    against the f64 golden: states to 5e-3, cost to 0.2%.  Runs in a
+    subprocess because the bench numerics are defined with x64 disabled
+    (module constants take their dtype at import)."""
+    import subprocess
+    import sys
     g = _golden(fixtures_dir, "hkd_bound")
-    plan, pen, x0, Xb, Ub, meta = build()
-    f32 = jnp.float32
-    plan32 = jax.tree.map(
-        lambda a: a.astype(f32) if a.dtype.kind == "f" else a, plan)
-    pen32 = jax.tree.map(lambda a: a.astype(f32), pen)
-    opts = load_solver_options(f"{REF_SETTINGS}/ddp_setting.info")
-    s = jax.jit(make_solver(hp.make_hkd_fns(), opts, max_resets=16))(
-        plan32, pen32, x0.astype(f32), Xb.astype(f32), Ub.astype(f32))
-    act = np.asarray(plan.knot.active) > 0
-    dx = np.abs(np.asarray(s.traj.Xbar) - g["Xbar"])[act]
+    script = tmp_path / "run_f32.py"
+    out = tmp_path / "f32_out.npz"
+    script.write_text(f"""
+import os, sys
+sys.path.insert(0, {repr(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))})
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", {repr(os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".jax_cache_f32"))})
+import jax.numpy as jnp
+import numpy as np
+from tests.test_hkd_solver import build, REF_SETTINGS
+from cafempc_tpu.problems import hkd_problem as hp
+from cafempc_tpu.solver.hsddp import make_solver
+from cafempc_tpu.solver.options import load_solver_options
+plan, pen, x0, Xb, Ub, meta = build()
+opts = load_solver_options(f"{{REF_SETTINGS}}/ddp_setting.info")
+s = jax.jit(make_solver(hp.make_hkd_fns(), opts, max_resets=16))(
+    plan, pen, x0, Xb, Ub)
+np.savez({repr(str(out))}, Xbar=np.asarray(s.traj.Xbar),
+         cost=np.asarray(s.cost),
+         active=np.asarray(plan.knot.active))
+""")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("JAX_ENABLE_X64", None)
+    subprocess.run([sys.executable, str(script)], check=True, env=env,
+                   timeout=1500)
+    r = np.load(out)
+    act = r["active"] > 0
+    dx = np.abs(r["Xbar"] - g["Xbar"])[act]
     assert dx.max() < 5e-3, dx.max()
-    assert abs(float(s.cost) - float(g["cost"])) / float(g["cost"]) < 1e-3
+    assert abs(float(r["cost"]) - float(g["cost"])) / float(g["cost"]) \
+        < 2e-3
 
 
 def test_mhpc_trot_f64_matches_golden(fixtures_dir):
