@@ -607,22 +607,33 @@ def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
                 else backward_sweep)
 
     def backward_sweep_regularized(plan, tr, reg0):
-        """(MultiPhaseDDP.cpp:136-165)."""
+        """(MultiPhaseDDP.cpp:136-165).
+
+        The while loop carries ONLY the sweep outputs (G/H/K/dU/Q*) plus
+        scalars — the sweep inputs (A/B/cost partials/defects) are
+        loop-invariant closures.  Carrying the whole TrajState made XLA
+        copy every per-knot buffer at each loop boundary (~18 ms/solve of
+        pure copies in the round-2 trace)."""
         def cond(c):
-            tr_, reg, ok, dV1, dV2, it = c
+            outs, reg, ok, dV1, dV2, it = c
             return (~ok) & (reg <= opts.reg_max) & (it < 32)
 
         def body(c):
-            tr_, reg, ok, _, _, it = c
-            tr2, dV1, dV2, ok2 = sweep_fn(plan, tr_, reg)
+            outs, reg, ok, _, _, it = c
+            tr2, dV1, dV2, ok2 = sweep_fn(plan, tr, reg)
+            outs2 = (tr2.G, tr2.H, tr2.K, tr2.dU, tr2.Qu, tr2.Quu,
+                     tr2.Qux)
             reg2 = jnp.where(ok2, reg,
                              jnp.maximum(reg * opts.update_regularization,
                                          opts.reg_min_init))
-            return (tr2, reg2, ok2, dV1, dV2, it + 1)
+            return (outs2, reg2, ok2, dV1, dV2, it + 1)
 
         zero = jnp.zeros((), dtype=tr.Xbar.dtype)
-        c0 = (tr, reg0, jnp.bool_(False), zero, zero, jnp.int32(0))
-        tr, reg, ok, dV1, dV2, n_it = jax.lax.while_loop(cond, body, c0)
+        outs0 = (tr.G, tr.H, tr.K, tr.dU, tr.Qu, tr.Quu, tr.Qux)
+        c0 = (outs0, reg0, jnp.bool_(False), zero, zero, jnp.int32(0))
+        outs, reg, ok, dV1, dV2, n_it = jax.lax.while_loop(cond, body, c0)
+        tr = tr._replace(G=outs[0], H=outs[1], K=outs[2], dU=outs[3],
+                         Qu=outs[4], Quu=outs[5], Qux=outs[6])
         reg = reg / 20.0
         reg = jnp.where(reg < 1e-6, 0.0, reg)
         return tr, reg, ok, dV1, dV2, n_it
@@ -734,14 +745,18 @@ def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
 
     # ---------------- line search -------------------------------------
     def line_search(plan, pen, tr, x0, cost0, merit0, feas0, rho, dV1, dV2):
-        """(MultiPhaseDDP.cpp:95-133)."""
+        """(MultiPhaseDDP.cpp:95-133).
+
+        Carries only the rollout outputs (X/U/Y/Xsim/Defect) — the rollout
+        reads Xbar/dX/Ubar/dU/K, all loop-invariant — so the while loop
+        does not copy the rest of the TrajState every trial."""
         def cond(c):
-            tr_, eps, it, success, cost, feas, merit = c
+            roll, eps, it, success, cost, feas, merit = c
             return (~success) & (eps > opts.ls_eps_min)
 
         def body(c):
-            tr_, eps, it, success, cost, feas, merit = c
-            tr2, ok = rollout(plan, tr_, x0, eps)
+            roll, eps, it, success, cost, feas, merit = c
+            tr2, ok = rollout(plan, tr, x0, eps)
             cost2, _, _ = compute_cost(plan, pen, tr2)
             feas2 = dyn_feas(plan, tr2.Defect)
             merit2 = cost2 + rho * feas2
@@ -749,12 +764,16 @@ def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
             exp_merit = exp_cost - eps * rho * feas0
             succ = (merit2 <= merit0 + opts.gamma * exp_merit) & ok
             eps2 = jnp.where(succ, eps, eps * opts.alpha)
-            return (tr2, eps2, it + 1, succ, cost2, feas2, merit2)
+            roll2 = (tr2.X, tr2.U, tr2.Y, tr2.Xsim, tr2.Defect)
+            return (roll2, eps2, it + 1, succ, cost2, feas2, merit2)
 
-        c0 = (tr, jnp.asarray(1.0, tr.Xbar.dtype), jnp.int32(0),
+        roll0 = (tr.X, tr.U, tr.Y, tr.Xsim, tr.Defect)
+        c0 = (roll0, jnp.asarray(1.0, tr.Xbar.dtype), jnp.int32(0),
               jnp.bool_(False), cost0, feas0, merit0)
-        tr, eps, n_it, success, cost, feas, merit = jax.lax.while_loop(
+        roll, eps, n_it, success, cost, feas, merit = jax.lax.while_loop(
             cond, body, c0)
+        tr = tr._replace(X=roll[0], U=roll[1], Y=roll[2], Xsim=roll[3],
+                         Defect=roll[4])
         return tr, success, cost, feas, merit, n_it
 
     # all backtracking candidates the sequential search could visit

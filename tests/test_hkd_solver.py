@@ -157,3 +157,21 @@ def test_gather_reset_matches_masked(solved):
                                rtol=1e-9, atol=1e-11)
     np.testing.assert_allclose(float(s_g.cost), float(s_ref.cost),
                                rtol=1e-10)
+
+
+def test_sequential_ls_matches_parallel(solved):
+    """The sequential backtracking line search (the bench configuration)
+    and the batched-candidate parallel search accept identical
+    trajectories (MultiPhaseDDP.cpp:95-133 semantics)."""
+    s_ref, plan, meta = solved
+    plan_, pen, x0, Xb, Ub, _ = build()
+    opts = load_solver_options(f"{REF_SETTINGS}/ddp_setting.info")
+    solve_seq = jax.jit(make_solver(hp.make_hkd_fns(), opts,
+                                    parallel_line_search=False))
+    s_seq = solve_seq(plan_, pen, x0, Xb, Ub)
+    np.testing.assert_allclose(np.asarray(s_seq.traj.Xbar),
+                               np.asarray(s_ref.traj.Xbar),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(float(s_seq.cost), float(s_ref.cost),
+                               rtol=1e-10)
+    assert int(s_seq.info.iters) == int(s_ref.info.iters)
