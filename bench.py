@@ -110,12 +110,12 @@ def build_mhpc(dtype):
             Ubar0, "mhpc_cascaded_solves_per_s")
 
 
-def main():
-    B = int(os.environ.get("BENCH_BATCH", "256"))
-    iters = int(os.environ.get("BENCH_ITERS", "5"))
+def build_bench_setup(B=None, dtype=jnp.float32):
+    """Bench-config solver + batched inputs per the BENCH_* env knobs;
+    shared by bench.main and the profiling tools (tools/trace_bench.py,
+    tools/probe_iters.py) so they all measure the SAME program."""
+    B = B or int(os.environ.get("BENCH_BATCH", "256"))
     config = os.environ.get("BENCH_CONFIG", "hkd")
-    dtype = jnp.float32
-
     builders = {"hkd": build_hkd, "mhpc": build_mhpc}
     if config not in builders:
         raise SystemExit(f"BENCH_CONFIG must be one of {list(builders)}, "
@@ -132,10 +132,30 @@ def main():
     seq_ls = os.environ.get("BENCH_SEQ_LS", "1") == "1"
     fused = os.environ.get("BENCH_FUSED", "1") == "1"
     max_resets = int(os.environ.get("BENCH_MAX_RESETS", "16"))
+    # reg floor = reg_min_init: identical solves to the reg=0-then-retry
+    # schedule on this config (the f32 fused kernel rejects reg=0 on every
+    # lane) at half the backward-sweep cost.  BENCH_REG_FLOOR=0 restores
+    # the reference schedule.
+    reg_floor = float(os.environ.get("BENCH_REG_FLOOR", "1e-3"))
+    # fused forward path (one Pallas kernel for rollout+cost), HKD only
+    fused_fwd = None
+    if config == "hkd" and seq_ls \
+            and os.environ.get("BENCH_FUSED_FWD", "1") == "1":
+        from cafempc_tpu.problems.hkd_fused import make_hkd_fused_forward
+        fused_fwd = make_hkd_fused_forward()
     solve_b = make_batched_solver(fns, opts, trim_output=True,
                                   parallel_line_search=not seq_ls,
                                   fused_riccati=fused,
-                                  max_resets=max_resets or None)
+                                  max_resets=max_resets or None,
+                                  reg_floor=reg_floor,
+                                  fused_forward=fused_fwd)
+    return solve_b, plan, pen_b, x0_b, Xb_b, Ub_b, metric
+
+
+def main():
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
+    solve_b, plan, pen_b, x0_b, Xb_b, Ub_b, metric = build_bench_setup()
+    B = x0_b.shape[0]
 
     # warmup / compile
     s = solve_b(plan, pen_b, x0_b, Xb_b, Ub_b)

@@ -299,24 +299,30 @@ def compute_hkd_state(eul, pos, qJ, contact):
     return jnp.concatenate(qd_parts)
 
 
+def reset_map_td_lo(x, td4, lo4):
+    """reset_map with precomputed per-leg touchdown / liftoff masks."""
+    eul, pos = x[0:3], x[3:6]
+    qdummy = x[12:24]
+    out = []
+    for leg in range(4):
+        qleg = qdummy[3 * leg:3 * leg + 3]
+        td, lo = td4[leg], lo4[leg]
+        pf = foot_position(pos, eul, qleg, leg) * jnp.array([1.0, 1.0, 0.0])
+        q_new = (td * pf + lo * QLEG_DEFAULT
+                 + (1.0 - td - lo) * qleg)
+        out.append(q_new)
+    return jnp.concatenate([x[0:12]] + out)
+
+
 def reset_map(x, contact_cur, contact_next):
     """Hybrid reset of qdummy at a contact-mode switch (HKDReset.h:41-75).
 
     stance->swing: qdummy_leg := default joint angle.
     swing->stance: qdummy_leg := [pf_x, pf_y, 0] via FK from joint angles.
     """
-    eul, pos = x[0:3], x[3:6]
-    qdummy = x[12:24]
-    out = []
-    for leg in range(4):
-        qleg = qdummy[3 * leg:3 * leg + 3]
-        td = (1.0 - contact_cur[leg]) * contact_next[leg]       # touchdown
-        lo = contact_cur[leg] * (1.0 - contact_next[leg])       # liftoff
-        pf = foot_position(pos, eul, qleg, leg) * jnp.array([1.0, 1.0, 0.0])
-        q_new = (td * pf + lo * QLEG_DEFAULT
-                 + (1.0 - td - lo) * qleg)
-        out.append(q_new)
-    return jnp.concatenate([x[0:12]] + out)
+    td4 = (1.0 - contact_cur) * contact_next       # touchdown
+    lo4 = contact_cur * (1.0 - contact_next)       # liftoff
+    return reset_map_td_lo(x, td4, lo4)
 
 
 def reset_map_partial_ad(x, contact_cur, contact_next):

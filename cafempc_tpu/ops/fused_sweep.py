@@ -66,7 +66,7 @@ def _sweep_kernel(xs, us, n_steps):
         k_rev = pl.program_id(1)           # 0 .. n_steps-1 (reverse walk)
         step = n_steps - 1 - k_rev
         w = w_ref[step]                    # 1 = transform/padding step
-        reg = reg_ref[0]
+        reg = reg_ref[0]                   # per-lane regularization [L]
 
         @pl.when(k_rev == 0)
         def _init():
@@ -104,9 +104,10 @@ def _sweep_kernel(xs, us, n_steps):
         HB = _mm_TN(H1, Bm, xs)
         Qx = lx + AtGn
         Qu = lu + _mv_T(Bm, [Gn[j] for j in range(xs)], xs)
-        Qxx = lxx + AtHA + reg * _eye(xs, A.dtype)[:, :, None]
+        Qxx = lxx + AtHA + _eye(xs, A.dtype)[:, :, None] * reg[None, None, :]
         Qxx = 0.5 * (Qxx + Qxx.swapaxes(0, 1))
-        Quu = luu + _mm_TN(Bm, HB, xs) + reg * _eye(us, A.dtype)[:, :, None]
+        Quu = (luu + _mm_TN(Bm, HB, xs)
+               + _eye(us, A.dtype)[:, :, None] * reg[None, None, :])
         Qux = lux + _mm_TN(Bm, HA, xs)
 
         # lane-wise Cholesky of (Quu - 1e-9 I) with PSD flag
@@ -197,7 +198,10 @@ def fused_backward_sweep(A, B, lx, lu, lxx, luu, lux, phix, phixx, defect,
     Shapes (N steps, L lanes): A [N,xs,xs,L], B [N,xs,us,L], lx [N,xs,L],
     lu [N,us,L], lxx [N,xs,xs,L], luu [N,us,us,L], lux [N,us,xs,L],
     phix [N+1,xs,L], phixx [N+1,xs,xs,L], defect [N+1,xs,L] (entry k+1 is
-    the defect used at step k), w [N] int32 transform flags, reg scalar.
+    the defect used at step k), w [N] int32 transform flags, reg [L]
+    per-lane regularization (keeps the cost-Hessian operands independent
+    of the regularization retry loop so XLA hoists their lane-layout
+    transposes out of the while body).
 
     Returns (G [N,xs,L] for knots 0..N-1, H [N,xs,xs,L], K [N,us,xs,L],
     dU, Qu, Quu, Qux, ok [1,L], dv [2,L] = (sum QudU, -sum QudU)).
@@ -230,9 +234,12 @@ def fused_backward_sweep(A, B, lx, lu, lxx, luu, lux, phix, phixx, defect,
                             memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,     # w flags + reg
+        num_scalar_prefetch=1,     # w flags
         grid=(n_lb, N),
         in_specs=[
+            # per-lane reg [1, L]
+            pl.BlockSpec((1, block_l), lambda lb, k, *_: (0, lb),
+                         memory_space=pltpu.VMEM),
             step_mat(xs, xs), step_mat(xs, us), step_vec(xs), step_vec(us),
             step_mat(xs, xs), step_mat(us, us), step_mat(us, xs),
             step_vec(xs), step_mat(xs, xs),
@@ -266,7 +273,7 @@ def fused_backward_sweep(A, B, lx, lu, lxx, luu, lux, phix, phixx, defect,
         jax.ShapeDtypeStruct((2, L), dt),
     ]
     w_arr = jnp.asarray(w, jnp.int32)
-    reg_arr = jnp.asarray(reg, dt).reshape(1)
+    reg_arr = jnp.broadcast_to(jnp.asarray(reg, dt), (L,)).reshape(1, L)
     return pl.pallas_call(
         _sweep_kernel(xs, us, N),
         out_shape=out_shapes,

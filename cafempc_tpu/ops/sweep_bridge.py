@@ -72,10 +72,15 @@ def _sweep_op_vmap(axis_size, in_batched, A, B, lx, lu, lxx, luu, lux,
                    phix, phixx, defect, w, reg):
     (Ab, Bb, lxb, lub, lxxb, luub, luxb, phixb, phixxb, defectb, wb,
      regb) = in_batched
-    assert not wb and not regb, "plan flags/reg must be unbatched"
+    assert not wb, "plan flags must be unbatched"
 
     Bsz = axis_size
-    pad = (-Bsz) % 128
+    xs = A.shape[1 + int(Ab)]
+    # VMEM budget: per-step operand blocks scale with xs^2 * block_l; at
+    # xs=36 (MHPC cascade) a 128-lane block overflows the 16MB scoped
+    # limit, so halve the lane block for wide states.
+    block_l = 128 if xs <= 24 else 64
+    pad = (-Bsz) % block_l
     L = Bsz + pad
 
     def lane(x, batched):
@@ -87,11 +92,12 @@ def _sweep_op_vmap(axis_size, in_batched, A, B, lx, lu, lxx, luu, lux,
                 [x, jnp.repeat(x[..., :1], pad, axis=-1)], axis=-1)
         return x
 
+    reg_l = lane(reg, regb) if regb else reg
     out = fused_backward_sweep(
         lane(A, Ab), lane(B, Bb), lane(lx, lxb), lane(lu, lub),
         lane(lxx, lxxb), lane(luu, luub), lane(lux, luxb),
         lane(phix, phixb), lane(phixx, phixxb), lane(defect, defectb),
-        w, reg)
+        w, reg_l, block_l=block_l)
     G, H, K, dU, Qu, Quu, Qux, ok, dv = out
 
     def unlane(x):

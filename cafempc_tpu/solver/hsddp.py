@@ -108,6 +108,13 @@ class SolverState(NamedTuple):
     reg: Any
     max_pconstr: Any; max_tconstr: Any
     max_pconstr_prev: Any; max_tconstr_prev: Any
+    # cached penalty-independent cost terms of the accepted nominal:
+    # cost_quad (tracking+terminal cost without ReB/AL), path-constraint
+    # values g and terminal-constraint values h.  Lets each AL outer
+    # iteration re-fold the updated penalties over the SAME trajectory
+    # without re-evaluating costs/constraints (the reference recomputes
+    # them each iteration, MultiPhaseDDP.cpp:277-300).
+    cost_quad: Any; con_g: Any; con_h: Any
     success: Any          # False only on unrecoverable backward-sweep failure
     done: Any             # outer-loop termination flag
     info: SolverInfo
@@ -148,7 +155,8 @@ def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
                 info_len=64, trim_output=False,
                 parallel_linear_rollout=True, parallel_riccati=False,
                 parallel_line_search=True, fused_riccati=False,
-                fused_linroll=None, max_resets=None, iter_callback=None):
+                fused_linroll=None, max_resets=None, iter_callback=None,
+                reg_floor=0.0, fused_forward=None):
     """Build the jit-ready ``solve(plan, pen, x0, Xbar0, Ubar0)`` function.
 
     fns: a ProblemFns, or a SegmentedFns for cascaded plans with a static
@@ -169,7 +177,27 @@ def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
     reference's intermediate-trajectory debug publishing
     (MultiPhaseDDP.h:95-107, channel "intermediate_ddp_traj").  Costs a
     device->host sync per outer iteration; debug only.
+    fused_forward: optional problem-specific fused trial path
+    ``f(plan, pen, tr, x0, eps) -> (tr2, (cq, g, h), cost, feas, maxp,
+    maxt, ok)`` replacing rollout + cost_terms + cost_from_terms in the
+    line search and the initial rollout (e.g.
+    problems/hkd_fused.make_hkd_fused_forward — one lane-batched Pallas
+    kernel for the whole forward pass).  Requires the sequential line
+    search and the all-shooting configuration.
+    reg_floor: minimum regularization for every backward sweep attempt.
+    The reference starts each sweep at reg=0 (MultiPhaseDDP.cpp:136-165)
+    and retries at reg_min_init on PSD failure; on the f32 TPU path the
+    fused kernel's lane-wise Cholesky flags the marginal reg=0 pivots
+    non-PSD on EVERY lane (the f64 and CPU-f32 XLA paths accept them), so
+    each DDP iteration pays a wasted full sweep.  Setting
+    reg_floor=opts.reg_min_init reproduces those solves exactly (the
+    retry lands on the same reg) at half the sweep cost.  Default 0.0 =
+    reference-faithful schedule.
     """
+    if fused_forward is not None and (parallel_line_search
+                                      or not (all_shooting and opts.MS)):
+        raise ValueError("fused_forward requires the sequential line "
+                         "search and the all-shooting MS configuration")
     segmented = isinstance(fns, SegmentedFns)
     if segmented:
         seg_counts = tuple(int(c) for c in fns.counts)
@@ -283,26 +311,35 @@ def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
         h = v_term_con(tr.X, plan.knot)
         return g, h
 
-    def compute_cost(plan, pen: PenaltyParams, tr: TrajState):
-        """Total actual cost incl. ReB/AL folding (SinglePhase.cpp:236-262)
-        + max constraint violations (tracked during rollout in the
-        reference)."""
+    def cost_terms(plan, tr: TrajState):
+        """Penalty-independent cost pieces: quadratic (tracking+terminal)
+        cost and raw constraint values.  These depend only on the
+        trajectory, so they are cached on the accepted nominal and reused
+        across AL penalty updates."""
         sd, kd = plan.step, plan.knot
         run_mask = sd.active * (1.0 - sd.is_reset)
         l = v_run_cost(tr.X[:-1], tr.U, tr.Y, sd)
         g, h = eval_constraints(plan, tr)
+        term_mask = kd.active * kd.is_terminal
+        phi = v_term_cost(tr.X, kd)
+        cq = jnp.sum(l * run_mask) + jnp.sum(phi * term_mask)
+        return cq, g, h
+
+    def cost_from_terms(plan, pen: PenaltyParams, cq, g, h):
+        """Fold ReB/AL penalties over cached cost terms
+        (SinglePhase.cpp:236-262) + max constraint violations."""
+        sd, kd = plan.step, plan.knot
+        run_mask = sd.active * (1.0 - sd.is_reset)
+        term_mask = kd.active * kd.is_terminal
+        total = cq
         if opts.ReB_active:
             reb = jax.vmap(penalty.reb_cost)(g, pen.reb_delta, pen.reb_eps,
                                              pen.reb_active)
-            l = l + sd.dt * reb
-        run = jnp.sum(l * run_mask)
-        term_mask = kd.active * kd.is_terminal
-        phi = v_term_cost(tr.X, kd)
+            total = total + jnp.sum(sd.dt * reb * run_mask)
         if opts.AL_active:
             al = jax.vmap(penalty.al_cost)(h, pen.al_lambda, pen.al_sigma,
                                            pen.al_active)
-            phi = phi + al
-        total = run + jnp.sum(phi * term_mask)
+            total = total + jnp.sum(al * term_mask)
         # violations: path g>=0 feasible (max_pconstr <= 0);
         # terminal |h| (max_tconstr >= 0)
         g_act = (pen.reb_active > 0) & (run_mask[:, None] > 0)
@@ -311,6 +348,11 @@ def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
         h_act = (pen.al_active > 0) & (term_mask[:, None] > 0)
         max_t = jnp.max(jnp.where(h_act, jnp.abs(h), 0.0))
         return total, max_p, max_t
+
+    def compute_cost(plan, pen: PenaltyParams, tr: TrajState):
+        """Total actual cost incl. ReB/AL folding + max violations."""
+        cq, g, h = cost_terms(plan, tr)
+        return cost_from_terms(plan, pen, cq, g, h)
 
     def dyn_feas(plan, Defect):
         return jnp.sqrt(jnp.sum(Defect ** 2))
@@ -580,21 +622,18 @@ def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
         up-front so per-scenario regularization schedules batch."""
         from cafempc_tpu.ops.sweep_bridge import sweep_op
         sd = plan.step
-        xs = tr.Xbar.shape[-1]
-        us = tr.Ubar.shape[-1]
-        I_x = jnp.eye(xs, dtype=tr.Xbar.dtype)
-        I_u = jnp.eye(us, dtype=tr.Xbar.dtype)
         lx = tr.lx + jnp.einsum("kij,ki->kj", tr.C, tr.ly)
         lu = tr.lu + jnp.einsum("kij,ki->kj", tr.D, tr.ly)
-        lxx = tr.lxx + jnp.einsum("kji,kjl,klm->kim", tr.C, tr.lyy, tr.C) \
-            + reg * I_x
-        luu = tr.luu + jnp.einsum("kji,kjl,klm->kim", tr.D, tr.lyy, tr.D) \
-            + reg * I_u
+        # reg is NOT folded here: it enters the kernel as a per-lane
+        # operand, so these folds (and their lane-layout transposes) are
+        # invariant across the regularization retry loop and get hoisted.
+        lxx = tr.lxx + jnp.einsum("kji,kjl,klm->kim", tr.C, tr.lyy, tr.C)
+        luu = tr.luu + jnp.einsum("kji,kjl,klm->kim", tr.D, tr.lyy, tr.D)
         lux = tr.lux + jnp.einsum("kji,kjl,klm->kim", tr.D, tr.lyy, tr.C)
         w = ((sd.is_reset > 0) | (sd.active == 0)).astype(jnp.int32)
         G_s, H_s, K, dU, Qu, Quu, Qux, ok_f, dv = sweep_op(
             tr.A, tr.B, lx, lu, lxx, luu, lux, tr.phix, tr.phixx,
-            tr.Defect, w, jnp.zeros((), tr.Xbar.dtype))
+            tr.Defect, w, jnp.asarray(reg, tr.Xbar.dtype))
         G = jnp.concatenate([G_s, tr.phix[-1:]], axis=0)
         H = jnp.concatenate([H_s, tr.phixx[-1:]], axis=0)
         G = G.at[0].add(H[0] @ tr.Defect[0])
@@ -628,6 +667,8 @@ def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
                                          opts.reg_min_init))
             return (outs2, reg2, ok2, dV1, dV2, it + 1)
 
+        if reg_floor:
+            reg0 = jnp.maximum(reg0, jnp.asarray(reg_floor, reg0.dtype))
         zero = jnp.zeros((), dtype=tr.Xbar.dtype)
         outs0 = (tr.G, tr.H, tr.K, tr.dU, tr.Qu, tr.Quu, tr.Qux)
         c0 = (outs0, reg0, jnp.bool_(False), zero, zero, jnp.int32(0))
@@ -744,37 +785,45 @@ def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
                       if parallel_linear_rollout else linear_rollout_seq)
 
     # ---------------- line search -------------------------------------
-    def line_search(plan, pen, tr, x0, cost0, merit0, feas0, rho, dV1, dV2):
+    def line_search(plan, pen, tr, x0, cost0, merit0, feas0, rho, dV1, dV2,
+                    terms_nom):
         """(MultiPhaseDDP.cpp:95-133).
 
         Carries only the rollout outputs (X/U/Y/Xsim/Defect) — the rollout
         reads Xbar/dX/Ubar/dU/K, all loop-invariant — so the while loop
         does not copy the rest of the TrajState every trial."""
         def cond(c):
-            roll, eps, it, success, cost, feas, merit = c
+            roll, terms, eps, it, success, cost, feas, merit = c
             return (~success) & (eps > opts.ls_eps_min)
 
         def body(c):
-            roll, eps, it, success, cost, feas, merit = c
-            tr2, ok = rollout(plan, tr, x0, eps)
-            cost2, _, _ = compute_cost(plan, pen, tr2)
-            feas2 = dyn_feas(plan, tr2.Defect)
+            roll, terms, eps, it, success, cost, feas, merit = c
+            if fused_forward is not None:
+                tr2, (cq2, g2, h2), cost2, feas2, _, _, ok = \
+                    fused_forward(plan, pen, tr, x0, eps)
+            else:
+                tr2, ok = rollout(plan, tr, x0, eps)
+                cq2, g2, h2 = cost_terms(plan, tr2)
+                cost2, _, _ = cost_from_terms(plan, pen, cq2, g2, h2)
+                feas2 = dyn_feas(plan, tr2.Defect)
             merit2 = cost2 + rho * feas2
             exp_cost = eps * dV1 + 0.5 * eps * eps * dV2
             exp_merit = exp_cost - eps * rho * feas0
             succ = (merit2 <= merit0 + opts.gamma * exp_merit) & ok
             eps2 = jnp.where(succ, eps, eps * opts.alpha)
             roll2 = (tr2.X, tr2.U, tr2.Y, tr2.Xsim, tr2.Defect)
-            return (roll2, eps2, it + 1, succ, cost2, feas2, merit2)
+            return (roll2, (cq2, g2, h2), eps2, it + 1, succ, cost2,
+                    feas2, merit2)
 
         roll0 = (tr.X, tr.U, tr.Y, tr.Xsim, tr.Defect)
-        c0 = (roll0, jnp.asarray(1.0, tr.Xbar.dtype), jnp.int32(0),
+        terms0 = terms_nom
+        c0 = (roll0, terms0, jnp.asarray(1.0, tr.Xbar.dtype), jnp.int32(0),
               jnp.bool_(False), cost0, feas0, merit0)
-        roll, eps, n_it, success, cost, feas, merit = jax.lax.while_loop(
-            cond, body, c0)
+        roll, terms, eps, n_it, success, cost, feas, merit = \
+            jax.lax.while_loop(cond, body, c0)
         tr = tr._replace(X=roll[0], U=roll[1], Y=roll[2], Xsim=roll[3],
                          Defect=roll[4])
-        return tr, success, cost, feas, merit, n_it
+        return tr, terms, success, cost, feas, merit, n_it
 
     # all backtracking candidates the sequential search could visit
     _n_ls = 0
@@ -785,7 +834,7 @@ def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
     _n_ls = max(_n_ls, 1)
 
     def line_search_parallel(plan, pen, tr, x0, cost0, merit0, feas0, rho,
-                             dV1, dV2):
+                             dV1, dV2, terms_nom):
         """Batched-candidate line search: evaluate every eps the
         reference's backtracking loop (MultiPhaseDDP.cpp:95-133) could
         try in ONE vmapped rollout, then select the first accepted
@@ -796,17 +845,18 @@ def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
 
         def trial(eps):
             tr2, ok = rollout(plan, tr, x0, eps)
-            cost2, _, _ = compute_cost(plan, pen, tr2)
+            cq2, g2, h2 = cost_terms(plan, tr2)
+            cost2, _, _ = cost_from_terms(plan, pen, cq2, g2, h2)
             feas2 = dyn_feas(plan, tr2.Defect)
             merit2 = cost2 + rho * feas2
             exp_cost = eps * dV1 + 0.5 * eps * eps * dV2
             exp_merit = exp_cost - eps * rho * feas0
             succ = (merit2 <= merit0 + opts.gamma * exp_merit) & ok
-            return (tr2.X, tr2.U, tr2.Y, tr2.Xsim, tr2.Defect, succ,
-                    cost2, feas2, merit2)
+            return (tr2.X, tr2.U, tr2.Y, tr2.Xsim, tr2.Defect,
+                    cq2, g2, h2, succ, cost2, feas2, merit2)
 
-        X, U, Y, Xsim, Defect, succ, cost, feas, merit = jax.vmap(trial)(
-            eps_c)
+        (X, U, Y, Xsim, Defect, cq, g, h, succ, cost, feas, merit) = \
+            jax.vmap(trial)(eps_c)
         any_ok = jnp.any(succ)
         # first accepted candidate, else the last tried (the reference
         # leaves the smallest-eps trial in the working trajectory)
@@ -814,7 +864,8 @@ def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
         tr2 = tr._replace(X=X[idx], U=U[idx], Y=Y[idx], Xsim=Xsim[idx],
                           Defect=Defect[idx])
         n_it = jnp.where(any_ok, idx + 1, _n_ls).astype(jnp.int32)
-        return (tr2, any_ok, cost[idx], feas[idx], merit[idx], n_it)
+        return (tr2, (cq[idx], g[idx], h[idx]), any_ok, cost[idx],
+                feas[idx], merit[idx], n_it)
 
     ls_fn = line_search_parallel if parallel_line_search \
         else line_search
@@ -833,9 +884,14 @@ def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
             n_entries=info.n_entries + 1)
 
     def ddp_inner(plan, s: SolverState):
-        """One inner DDP iteration (MultiPhaseDDP.cpp:277-387)."""
+        """One inner DDP iteration (MultiPhaseDDP.cpp:277-387).
+
+        Cost under the CURRENT penalties comes from the cached nominal
+        cost terms (cost_quad/con_g/con_h) — no constraint re-evaluation;
+        only the penalty folding runs after an AL update."""
         tr = s.traj
-        cost, maxp, maxt = compute_cost(plan, s.pen, tr)
+        cost, maxp, maxt = cost_from_terms(plan, s.pen, s.cost_quad,
+                                           s.con_g, s.con_h)
         feas = dyn_feas(plan, tr.Defect)
         tr = lq_approx(plan, s.pen, tr)
         tr, reg, ok, dV1, dV2, reg_it = backward_sweep_regularized(
@@ -851,32 +907,44 @@ def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
         early = (dV_abs < opts.cost_thresh) & \
                 (feas <= opts.dynamics_feas_thresh)
 
-        def do_ls(args):
-            tr_, info = args
-            tr2, ls_ok, cost2, feas2, merit2, ls_it = ls_fn(
-                plan, s.pen, tr_, s.x0, cost, merit, feas, rho, dV1, dV2)
-            tr2 = jax.lax.cond(ls_ok, update_nominal, lambda t: t, tr2)
-            cost3 = jnp.where(ls_ok, cost2, cost)
-            merit3 = jnp.where(ls_ok, merit2, merit)
-            feas3 = jnp.where(ls_ok, feas2, feas)
-            # late termination (MultiPhaseDDP.cpp:369-370)
-            late = (jnp.abs((cost - cost3) / jnp.where(cost == 0, 1.0, cost))
-                    < opts.cost_thresh) & (feas3 <= opts.dynamics_feas_thresh)
-            info = info._replace(ls_iters=info.ls_iters + ls_it)
-            return tr2, cost3, merit3, feas3, late, info
+        terms_nom = (s.cost_quad, s.con_g, s.con_h)
 
-        def skip_ls(args):
-            tr_, info = args
-            return tr_, cost, merit, feas, jnp.bool_(True), info
-
-        info = s.info._replace(reg_iters=s.info.reg_iters + reg_it,
-                               iters=s.info.iters + 1)
-        tr, cost_f, merit_f, feas_f, inner_done, info = jax.lax.cond(
-            early, skip_ls, do_ls, (tr, info))
+        # The reference skips the line search on early termination
+        # (MultiPhaseDDP.cpp:330-345).  Under the scenario vmap a
+        # batched-predicate lax.cond executes both branches and selects
+        # anyway, and custom_vmap ops (fused_forward) do not compose with
+        # cond-branch tracing — so run the search and where-select on
+        # `early` (identical semantics, identical batched cost).
+        tr2, terms2, ls_ok, cost2, feas2, merit2, ls_it = ls_fn(
+            plan, s.pen, tr, s.x0, cost, merit, feas, rho, dV1, dV2,
+            terms_nom)
+        ls_ok = ls_ok & (~early)
+        tr2 = jax.tree.map(
+            lambda new, old: jnp.where(ls_ok, new, old),
+            update_nominal(tr2), tr2)
+        tr2 = jax.tree.map(lambda new, old: jnp.where(early, old, new),
+                           tr2, tr)
+        cost3 = jnp.where(ls_ok, cost2, cost)
+        merit3 = jnp.where(ls_ok, merit2, merit)
+        feas3 = jnp.where(ls_ok, feas2, feas)
+        # nominal cost-term cache follows the accepted trajectory only
+        terms3 = jax.tree.map(
+            lambda new, old: jnp.where(ls_ok, new, old),
+            terms2, terms_nom)
+        # late termination (MultiPhaseDDP.cpp:369-370)
+        late = (jnp.abs((cost - cost3) / jnp.where(cost == 0, 1.0, cost))
+                < opts.cost_thresh) & (feas3 <= opts.dynamics_feas_thresh)
+        tr, terms_f = tr2, terms3
+        cost_f, merit_f, feas_f = cost3, merit3, feas3
+        inner_done = jnp.where(early, jnp.bool_(True), late)
+        info = s.info._replace(
+            reg_iters=s.info.reg_iters + reg_it, iters=s.info.iters + 1,
+            ls_iters=s.info.ls_iters + jnp.where(early, 0, ls_it))
         info = push_info(info, cost_f, feas_f, maxt, maxp)
         return s._replace(
             traj=tr, cost=cost_f, merit=merit_f, merit_rho=rho, feas=feas_f,
             dV1=dV1, dV2=dV2, reg=reg, max_pconstr=maxp, max_tconstr=maxt,
+            cost_quad=terms_f[0], con_g=terms_f[1], con_h=terms_f[2],
             success=s.success & ok, info=info), inner_done | (~ok)
 
     def outer_body(plan, s: SolverState):
@@ -905,8 +973,9 @@ def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
                 (jnp.abs(s.max_pconstr - s.max_pconstr_prev) < 1e-4) & feas_ok
         done = conv | stall | (~s.success)
 
-        # AL / ReB parameter updates on current constraint values
-        g, h = eval_constraints(plan, s.traj)
+        # AL / ReB parameter updates on the cached nominal constraint
+        # values (the reference likewise updates on the accepted nominal)
+        g, h = s.con_g, s.con_h
         pen = s.pen
         if opts.AL_active:
             lam, sig = jax.vmap(
@@ -939,21 +1008,32 @@ def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
             ineq_feas_buf=jnp.zeros((info_len,), dtype),
             n_entries=jnp.int32(0), iters=jnp.int32(0),
             ls_iters=jnp.int32(0), reg_iters=jnp.int32(0))
+        n_g = plan.step.dt.shape[0]
+        n_k = n_g + 1
         s = SolverState(
             traj=tr, pen=pen0, x0=jnp.asarray(x0, dtype),
             cost=zero, merit=zero, merit_rho=zero, feas=zero,
             dV1=zero, dV2=zero, reg=zero,
             max_pconstr=zero, max_tconstr=zero,
             max_pconstr_prev=zero, max_tconstr_prev=zero,
+            cost_quad=zero,
+            con_g=jnp.zeros((n_g, pen0.reb_active.shape[-1]), dtype),
+            con_h=jnp.zeros((n_k, pen0.al_active.shape[-1]), dtype),
             success=jnp.bool_(True), done=jnp.bool_(False), info=info)
 
         # initial rollout + nominal update (MultiPhaseDDP.cpp:238-261)
-        tr, _ = rollout(plan, s.traj, s.x0, 0.0)
-        tr = update_nominal(tr)
-        cost, maxp, maxt = compute_cost(plan, s.pen, tr)
-        feas = dyn_feas(plan, tr.Defect)
+        if fused_forward is not None:
+            tr, (cq, g, h), cost, feas, maxp, maxt, _ = fused_forward(
+                plan, s.pen, s.traj, s.x0, jnp.zeros((), dtype))
+            tr = update_nominal(tr)
+        else:
+            tr, _ = rollout(plan, s.traj, s.x0, 0.0)
+            tr = update_nominal(tr)
+            cq, g, h = cost_terms(plan, tr)
+            cost, maxp, maxt = cost_from_terms(plan, s.pen, cq, g, h)
+            feas = dyn_feas(plan, tr.Defect)
         s = s._replace(traj=tr, cost=cost, feas=feas, max_pconstr=maxp,
-                       max_tconstr=maxt,
+                       max_tconstr=maxt, cost_quad=cq, con_g=g, con_h=h,
                        info=push_info(s.info, cost, feas, maxt, maxp))
 
         def outer_cond(c):
