@@ -1,0 +1,527 @@
+"""Fused HKD LQ approximation: ALL per-knot linearizations in ONE
+lane-batched Pallas kernel, emitted directly in the backward-sweep's
+lane-minor layout.
+
+Per knot (problems/hkd_problem.py + solver lq_approx semantics;
+reference SinglePhase.cpp:265-320):
+  * dynamics Jacobians A = I + dt Fx, B = dt Fu (closed-form
+    hkinodyn_par, models/hkd.py:dynamics_partials)
+  * reset-map Jacobian at reset steps (models/hkd.py:reset_map_partial)
+  * running-cost partials lx/lu/lxx/luu (+ foot-place regularization via
+    the constant placement E = E_BLK - E_TILE) and the ReB friction-
+    pyramid Gauss-Newton terms (constant facet Jacobian)
+  * terminal-cost partials phix/phixx + AL touchdown-height terms via
+    the closed-form foot-height Jacobian
+    (models/hkd.py:touchdown_height_partials)
+
+Outputs stay in [N, d, d', L] lane layout and feed
+ops/fused_sweep.fused_backward_sweep with NO [B, N, 24, 24]
+materialization or layout transpose in between — in the batch-first
+graph those assemblies + copies were ~20 ms/solve at B=256 (round-3
+trace).  lux is identically zero for HKD (no u-x cost coupling; the
+caller passes zeros to the sweep).
+
+Semantics verified against the generic path by tests/test_fused_lq.py.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cafempc_tpu.models.hkd import (GRAVITY, MASS, L1, L2, L3)
+from cafempc_tpu.ops.fused_hkd_trial import (_SIDE, _HX, _HY, _IDIAG,
+                                             _legs_fk_rows, _rot_rows,
+                                             _interpret)
+
+# scalar-prefetch columns (per knot k = 0..N)
+_SP_DT = 0      # step dt (k<N)
+_SP_RUN = 1     # run-cost mask active*(1-is_reset)
+_SP_RESET = 2   # step is_reset
+_SP_ACT = 3     # step active
+_SP_TERM = 4    # knot terminal mask active*is_terminal
+SP_NCOLS = 5
+
+
+def _legs_jac_rows(qd):
+    """leg_jacobian_local for all 4 legs, lane form: qd (12, L) ->
+    [4][3][3] lane entries (models/hkd.py:_legs_jacobian_local)."""
+    out = []
+    for leg in range(4):
+        q0, q1, q2 = qd[3 * leg], qd[3 * leg + 1], qd[3 * leg + 2]
+        s1, c1 = jnp.sin(q0), jnp.cos(q0)
+        s2, c2 = jnp.sin(q1), jnp.cos(q1)
+        s3, c3 = jnp.sin(q2), jnp.cos(q2)
+        s23 = s2 * c3 + c2 * s3
+        c23 = c2 * c3 - s2 * s3
+        sig = _SIDE[leg]
+        ext = L3 * c23 + L2 * c2
+        dext2 = -L3 * s23 - L2 * s2
+        dext3 = -L3 * s23
+        z = jnp.zeros_like(s1)
+        out.append([
+            [z, ext, L3 * c23],
+            [-sig * L1 * s1 + c1 * ext, s1 * dext2, s1 * dext3],
+            [sig * L1 * c1 + s1 * ext, -c1 * dext2, -c1 * dext3]])
+    return out
+
+
+def _mat_rows_zero(n, m, like):
+    z = jnp.zeros_like(like)
+    return [[z for _ in range(m)] for _ in range(n)]
+
+
+def _stack_mat(rows):
+    return jnp.stack([jnp.stack(r, 0) for r in rows], 0)
+
+
+def _rotT_vec(R, v):
+    return [R[0][i] * v[0] + R[1][i] * v[1] + R[2][i] * v[2]
+            for i in range(3)]
+
+
+def _lq_kernel(n_knots, mu):
+    N = n_knots - 1
+
+    def kernel(sp_ref,
+               X_ref, U_ref,
+               rdel_ref, reps_ref, ract_ref, alam_ref, asig_ref, aact_ref,
+               xref_s_ref, uref_s_ref, qw_ref, rw_ref, qfoot_r_ref,
+               prelref_r_ref, c3_ref, swing3_ref, td4_ref, lo4_ref,
+               xref_k_ref, qft_ref, qfoot_t_ref, prelref_t_ref,
+               A_ref, B_ref, lx_ref, lu_ref, lxx_ref, luu_ref,
+               phix_ref, phixx_ref):
+        k = pl.program_id(1)
+        dt = sp_ref[k, _SP_DT]
+        run_m = sp_ref[k, _SP_RUN]
+        is_reset = sp_ref[k, _SP_RESET]
+        act = sp_ref[k, _SP_ACT]
+        term_m = sp_ref[k, _SP_TERM]
+
+        X = X_ref[0]                       # (24, L)
+        U = U_ref[0]
+        eul = X[0:3]
+        pos = X[3:6]
+        omega = X[6:9]
+        qd = X[12:24]
+        c3 = c3_ref[0, 0]                  # (12,)
+        swing3 = swing3_ref[0, 0]
+        td4 = td4_ref[0, 0]
+        lo4 = lo4_ref[0, 0]
+        grf = U[0:12] * c3[:, None]
+        L0 = X[0]
+
+        sp, cp = jnp.sin(eul[1]), jnp.cos(eul[1])
+        sr, cr = jnp.sin(eul[2]), jnp.cos(eul[2])
+        R = _rot_rows(eul)
+        Rz_row2 = [-sp, cp * sr, cp * cr]
+
+        # ===== dynamics Jacobian Fx / Fu blocks =======================
+        # deuld/deul columns (pitch, roll); yaw column is zero
+        srw = sr * omega[1] + cr * omega[2]
+        crw = cr * omega[1] - sr * omega[2]
+        cp2 = cp * cp
+        col_p = [sp / cp2 * srw, jnp.zeros_like(L0), srw / cp2]
+        col_r = [crw / cp, -srw, sp * crw / cp]
+        # W rows
+        W = [[jnp.zeros_like(L0), sr / cp, cr / cp],
+             [jnp.zeros_like(L0), cr, -sr],
+             [jnp.ones_like(L0), sp * sr / cp, sp * cr / cp]]
+
+        # torque arm / forces
+        f = [[grf[3 * l + i] for i in range(3)] for l in range(4)]
+        f_tot = [sum(f[l][i] for l in range(4)) for i in range(3)]
+        tau_w = [jnp.zeros_like(L0)] * 3
+        arms = []
+        for l in range(4):
+            arm = [qd[3 * l] - pos[0], qd[3 * l + 1] - pos[1], -pos[2]]
+            arms.append(arm)
+            tau_w = [tau_w[0] + arm[1] * f[l][2] - arm[2] * f[l][1],
+                     tau_w[1] + arm[2] * f[l][0] - arm[0] * f[l][2],
+                     tau_w[2] + arm[0] * f[l][1] - arm[1] * f[l][0]]
+
+        sy, cy = jnp.sin(eul[0]), jnp.cos(eul[0])
+        # dR_dy^T tau = R^T [tau1, -tau0, 0]
+        v_y = _rotT_vec(R, [tau_w[1], -tau_w[0], jnp.zeros_like(L0)])
+        # dR_dp^T tau = Rx^T Ry^T (-skew(ey)) Rz^T tau
+        u0 = cy * tau_w[0] + sy * tau_w[1]
+        u1 = -sy * tau_w[0] + cy * tau_w[1]
+        u2 = tau_w[2]
+        w0, w1, w2 = -u2, jnp.zeros_like(L0), u0
+        t0 = cp * w0 - sp * w2
+        t1 = w1
+        t2 = sp * w0 + cp * w2
+        v_p = [t0, cr * t1 + sr * t2, -sr * t1 + cr * t2]
+        # dR_dr^T tau = Rx^T (-skew(ex)) Ry^T Rz^T tau
+        y0 = cp * u0 - sp * u2
+        y1 = u1
+        y2 = sp * u0 + cp * u2
+        z0, z1, z2 = jnp.zeros_like(L0), y2, -y1
+        v_r = [z0, cr * z1 + sr * z2, -sr * z1 + cr * z2]
+
+        Idg = _IDIAG
+        dwd_deul = [[v_y[i] / Idg[i], v_p[i] / Idg[i], v_r[i] / Idg[i]]
+                    for i in range(3)]
+        # dwd_dpos = Iinv R^T skew(f_tot): col j = Iinv R^T (f x e_j)
+        fx_ex = [jnp.zeros_like(L0), f_tot[2], -f_tot[1]]
+        fx_ey = [-f_tot[2], jnp.zeros_like(L0), f_tot[0]]
+        fx_ez = [f_tot[1], -f_tot[0], jnp.zeros_like(L0)]
+        cpos = [_rotT_vec(R, fx_ex), _rotT_vec(R, fx_ey),
+                _rotT_vec(R, fx_ez)]
+        dwd_dpos = [[cpos[j][i] / Idg[i] for j in range(3)]
+                    for i in range(3)]
+        # dwd_domega = Iinv (skew(Iw) - skew(omega) diag(I))
+        Iw = [Idg[i] * omega[i] for i in range(3)]
+        sk_Iw = [[jnp.zeros_like(L0), -Iw[2], Iw[1]],
+                 [Iw[2], jnp.zeros_like(L0), -Iw[0]],
+                 [-Iw[1], Iw[0], jnp.zeros_like(L0)]]
+        sk_wI = [[jnp.zeros_like(L0), -omega[2] * Idg[1],
+                  omega[1] * Idg[2]],
+                 [omega[2] * Idg[0], jnp.zeros_like(L0),
+                  -omega[0] * Idg[2]],
+                 [-omega[1] * Idg[0], omega[0] * Idg[1],
+                  jnp.zeros_like(L0)]]
+        dwd_dom = [[(sk_Iw[i][j] - sk_wI[i][j]) / Idg[i]
+                    for j in range(3)] for i in range(3)]
+
+        # per-leg qdummy / grf blocks
+        dwd_dqd = []    # [4][3][2 used cols + zero]
+        dwd_dgrf = []
+        for l in range(4):
+            ex_f = [jnp.zeros_like(L0), -f[l][2], f[l][1]]
+            ey_f = [f[l][2], jnp.zeros_like(L0), -f[l][0]]
+            cqx = _rotT_vec(R, ex_f)
+            cqy = _rotT_vec(R, ey_f)
+            dwd_dqd.append([cqx, cqy])
+            a = arms[l]
+            ax_e = [[jnp.zeros_like(L0), a[2], -a[1]],
+                    [-a[2], jnp.zeros_like(L0), a[0]],
+                    [a[1], -a[0], jnp.zeros_like(L0)]]
+            cl = c3[3 * l]
+            dwd_dgrf.append([
+                [vv * cl for vv in _rotT_vec(R, ax_e[0])],
+                [vv * cl for vv in _rotT_vec(R, ax_e[1])],
+                [vv * cl for vv in _rotT_vec(R, ax_e[2])]])
+
+        # ---- assemble A = I + dt Fx ---------------------------------
+        A = _mat_rows_zero(24, 24, L0)
+        one = jnp.ones_like(L0)
+        # eul rows
+        for i in range(3):
+            A[i][1] = dt * col_p[i]
+            A[i][2] = dt * col_r[i]
+            for j in range(3):
+                A[i][6 + j] = dt * W[i][j]
+        # pos rows: d pos / d vel
+        for i in range(3):
+            A[3 + i][9 + i] = dt * one
+        # omega rows
+        for i in range(3):
+            for j in range(3):
+                A[6 + i][j] = dt * dwd_deul[i][j]
+                A[6 + i][3 + j] = dt * dwd_dpos[i][j]
+                A[6 + i][6 + j] = dt * dwd_dom[i][j]
+            for l in range(4):
+                A[6 + i][12 + 3 * l] = dt * dwd_dqd[l][0][i]
+                A[6 + i][12 + 3 * l + 1] = dt * dwd_dqd[l][1][i]
+        for i in range(24):
+            A[i][i] = A[i][i] + one
+
+        # ---- reset-map Jacobian P (used where is_reset) -------------
+        P = _mat_rows_zero(24, 24, L0)
+        for i in range(12):
+            P[i][i] = one
+        p_loc = _legs_fk_rows(qd)
+        J_loc = _legs_jac_rows(qd)
+        for l in range(4):
+            td, lo = td4[l], lo4[l]
+            keep = 1.0 - td - lo
+            p = p_loc[l]
+            # Rp (world, relative)
+            Rp = [R[i][0] * p[0] + R[i][1] * p[1] + R[i][2] * p[2]
+                  for i in range(3)]
+            # dR_dy p = ez x Rp ; dR_dp p = Rz skew(ey) (Ry Rx p);
+            # dR_dr p = Rz Ry skew(ex) (Rx p)
+            dRy_p = [-Rp[1], Rp[0], jnp.zeros_like(L0)]
+            # q = Ry Rx p
+            rx_p = [p[0], cr * p[1] - sr * p[2], sr * p[1] + cr * p[2]]
+            q_ = [cp * rx_p[0] + sp * rx_p[2], rx_p[1],
+                  -sp * rx_p[0] + cp * rx_p[2]]
+            se_q = [q_[2], jnp.zeros_like(L0), -q_[0]]
+            dRp_p = [cy * se_q[0] - sy * se_q[1],
+                     sy * se_q[0] + cy * se_q[1], se_q[2]]
+            sx_rx = [jnp.zeros_like(L0), -rx_p[2], rx_p[1]]
+            ry_s = [cp * sx_rx[0] + sp * sx_rx[2], sx_rx[1],
+                    -sp * sx_rx[0] + cp * sx_rx[2]]
+            dRr_p = [cy * ry_s[0] - sy * ry_s[1],
+                     sy * ry_s[0] + cy * ry_s[1], ry_s[2]]
+            r0 = 12 + 3 * l
+            for i in range(2):             # z-row masked (zmask)
+                P[r0 + i][0] = td * [dRy_p, dRp_p, dRr_p][0][i]
+                P[r0 + i][1] = td * dRp_p[i]
+                P[r0 + i][2] = td * dRr_p[i]
+                P[r0 + i][0] = td * dRy_p[i]
+                P[r0 + i][3 + i] = td * one
+                for j in range(3):
+                    RJ = (R[i][0] * J_loc[l][0][j]
+                          + R[i][1] * J_loc[l][1][j]
+                          + R[i][2] * J_loc[l][2][j])
+                    P[r0 + i][r0 + j] = td * RJ
+            for i in range(3):
+                P[r0 + i][r0 + i] = P[r0 + i][r0 + i] + keep * one
+
+        # select + activity mask
+        Arows = [[act * jnp.where(is_reset > 0, P[i][j], A[i][j])
+                  for j in range(24)] for i in range(24)]
+        A_ref[0] = _stack_mat(Arows)
+
+        # ---- B = dt Fu (zeroed on reset steps) ----------------------
+        Bm = _mat_rows_zero(24, 24, L0)
+        zb = act * (1.0 - is_reset) * dt
+        for i in range(3):
+            for l in range(4):
+                for j in range(3):
+                    Bm[6 + i][3 * l + j] = zb * dwd_dgrf[l][j][i]
+            # v rows: kron(contact, I3)/MASS
+            for l in range(4):
+                Bm[9 + i][3 * l + i] = zb * c3[3 * l + i] / MASS
+        for j in range(12):
+            Bm[12 + j][12 + j] = zb * swing3[j]
+        B_ref[0] = _stack_mat(Bm)
+
+        # ===== running-cost partials (masked by run_m) ================
+        qw = qw_ref[0, 0]
+        rw = rw_ref[0, 0]
+        dx = X - xref_s_ref[0, 0][:, None]
+        du = U - uref_s_ref[0, 0][:, None]
+        lx = [run_m * dt * qw[i] * dx[i] for i in range(24)]
+        lu = [run_m * dt * rw[i] * du[i] for i in range(24)]
+        lxx_d = [run_m * dt * qw[i] * jnp.ones_like(L0) for i in range(24)]
+        luu = _mat_rows_zero(24, 24, L0)
+        for i in range(24):
+            luu[i][i] = run_m * dt * rw[i]
+
+        # foot-place regularization: D = c3-masked (E_BLK - E_TILE)
+        qf = qfoot_r_ref[0, 0]             # (12,)
+        pcom = X[3:6]
+        prel = X[12:24] - jnp.concatenate([pcom, pcom, pcom, pcom], 0)
+        d_r = prel - prelref_r_ref[0, 0][:, None]
+        uvec = [c3[j] * qf[j] * d_r[j] for j in range(12)]
+        lxx = _mat_rows_zero(24, 24, L0)
+        for i in range(24):
+            lxx[i][i] = lxx_d[i]
+        sc = run_m * dt
+        for j in range(12):
+            a = j % 3
+            wj = c3[j] * qf[j]
+            lx[12 + j] = lx[12 + j] + sc * uvec[j]
+            lx[3 + a] = lx[3 + a] - sc * uvec[j]
+            lxx[12 + j][12 + j] = lxx[12 + j][12 + j] + sc * wj
+            lxx[12 + j][3 + a] = lxx[12 + j][3 + a] - sc * wj
+            lxx[3 + a][12 + j] = lxx[3 + a][12 + j] - sc * wj
+            lxx[3 + a][3 + a] = lxx[3 + a][3 + a] + sc * wj
+
+        # ReB friction-pyramid Gauss-Newton terms (constant facets)
+        delta = rdel_ref[0]                # (20, L)
+        reps = reps_ref[0]
+        ract = ract_ref[0]
+        gg_rows = []
+        for l in range(4):
+            fx, fy, fz = U[3 * l], U[3 * l + 1], U[3 * l + 2]
+            gg_rows += [fz, -fx + mu * fz, fx + mu * fz, -fy + mu * fz,
+                        fy + mu * fz]
+        g = jnp.stack(gg_rows, 0)
+        gsafe = jnp.where(ract > 0, g, 1.0)
+        d1 = jnp.where(gsafe > delta, -1.0 / gsafe,
+                       (gsafe - 2.0 * delta) / (delta * delta))
+        d2 = jnp.where(gsafe > delta, 1.0 / (gsafe * gsafe),
+                       1.0 / (delta * delta))
+        zmask = (ract > 0)
+        w1 = jnp.where(zmask, reps * d1, 0.0)
+        w2 = jnp.where(zmask, reps * d2, 0.0)
+        for l in range(4):
+            b = 5 * l
+            lu[3 * l] = lu[3 * l] + sc * (-w1[b + 1] + w1[b + 2])
+            lu[3 * l + 1] = lu[3 * l + 1] + sc * (-w1[b + 3] + w1[b + 4])
+            lu[3 * l + 2] = lu[3 * l + 2] + sc * (
+                w1[b] + mu * (w1[b + 1] + w1[b + 2] + w1[b + 3]
+                              + w1[b + 4]))
+            sxx = w2[b + 1] + w2[b + 2]
+            syy = w2[b + 3] + w2[b + 4]
+            szz = w2[b] + mu * mu * (sxx + syy)
+            sxz = mu * (-w2[b + 1] + w2[b + 2])
+            syz = mu * (-w2[b + 3] + w2[b + 4])
+            i0 = 3 * l
+            luu[i0][i0] = luu[i0][i0] + sc * sxx
+            luu[i0 + 1][i0 + 1] = luu[i0 + 1][i0 + 1] + sc * syy
+            luu[i0 + 2][i0 + 2] = luu[i0 + 2][i0 + 2] + sc * szz
+            luu[i0][i0 + 2] = luu[i0][i0 + 2] + sc * sxz
+            luu[i0 + 2][i0] = luu[i0 + 2][i0] + sc * sxz
+            luu[i0 + 1][i0 + 2] = luu[i0 + 1][i0 + 2] + sc * syz
+            luu[i0 + 2][i0 + 1] = luu[i0 + 2][i0 + 1] + sc * syz
+
+        lx_ref[0] = jnp.stack(lx, 0)
+        lu_ref[0] = jnp.stack(lu, 0)
+        lxx_ref[0] = _stack_mat(lxx)
+        luu_ref[0] = _stack_mat(luu)
+
+        # ===== terminal partials (masked by term_m) ===================
+        qft = qft_ref[0, 0]
+        dxt = X - xref_k_ref[0, 0][:, None]
+        phix = [term_m * qft[i] * dxt[i] for i in range(24)]
+        phixx = _mat_rows_zero(24, 24, L0)
+        for i in range(24):
+            phixx[i][i] = term_m * qft[i] * jnp.ones_like(L0)
+        qfo = qfoot_t_ref[0, 0]
+        d_t = prel - prelref_t_ref[0, 0][:, None]
+        for j in range(12):
+            a = j % 3
+            wj = qfo[j]
+            uj = wj * d_t[j]
+            phix[12 + j] = phix[12 + j] + term_m * 20.0 * uj
+            phix[3 + a] = phix[3 + a] - term_m * 20.0 * uj
+            phixx[12 + j][12 + j] = phixx[12 + j][12 + j] \
+                + term_m * 20.0 * wj
+            phixx[12 + j][3 + a] = phixx[12 + j][3 + a] \
+                - term_m * 20.0 * wj
+            phixx[3 + a][12 + j] = phixx[3 + a][12 + j] \
+                - term_m * 20.0 * wj
+            phixx[3 + a][3 + a] = phixx[3 + a][3 + a] \
+                + term_m * 20.0 * wj
+
+        # AL touchdown-height terms: h, hx closed form
+        p_locT = _legs_fk_rows(qd)
+        hw_lam = alam_ref[0]               # (4, L)
+        hw_sig = asig_ref[0]
+        aact = aact_ref[0]
+        # z-row derivatives of R
+        dr2_dp = [-cp, -sp * sr, -sp * cr]
+        dr2_dr = [jnp.zeros_like(L0), cp * cr, -cp * sr]
+        for l in range(4):
+            p = p_locT[l]
+            h_l = X[5] + Rz_row2[0] * p[0] + Rz_row2[1] * p[1] \
+                + Rz_row2[2] * p[2]
+            am = (aact[l] > 0)
+            h_m = jnp.where(am, h_l, 0.0)
+            gw = jnp.where(am, hw_sig[l] * h_m + hw_lam[l], 0.0)
+            hw = jnp.where(am, hw_sig[l] * (1.0 + h_m) + hw_lam[l], 0.0)
+            # hx row: cols 1 (pitch), 2 (roll), 5 (pos z), 12+3l..14+3l
+            hx_p = (dr2_dp[0] * p[0] + dr2_dp[1] * p[1]
+                    + dr2_dp[2] * p[2])
+            hx_r = (dr2_dr[0] * p[0] + dr2_dr[1] * p[1]
+                    + dr2_dr[2] * p[2])
+            Jl = J_loc[l]
+            hq = [Rz_row2[0] * Jl[0][j] + Rz_row2[1] * Jl[1][j]
+                  + Rz_row2[2] * Jl[2][j] for j in range(3)]
+            cols = [(1, hx_p), (2, hx_r), (5, jnp.ones_like(L0)),
+                    (12 + 3 * l, hq[0]), (13 + 3 * l, hq[1]),
+                    (14 + 3 * l, hq[2])]
+            for ci, cv in cols:
+                phix[ci] = phix[ci] + term_m * gw * cv
+            for ci, cv in cols:
+                for cj, cw in cols:
+                    phixx[ci][cj] = phixx[ci][cj] + term_m * hw * cv * cw
+
+        phix_ref[0] = jnp.stack(phix, 0)
+        phixx_ref[0] = _stack_mat(phixx)
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("block_l", "mu"))
+def fused_hkd_lq(Xbar, Ubar,
+                 reb_delta, reb_eps, reb_act, al_lam, al_sig, al_act,
+                 xref_s, uref_s, q_w, r_w, qfoot_r, prelref_r, c3,
+                 swing3, td4, lo4, xref_k, qf_t, qfoot_t, prelref_t,
+                 sp, block_l=128, mu=0.5):
+    """Lane-batched LQ: Xbar [NK,24,L], Ubar [N,24,L], pen lane arrays,
+    per-knot constants [*,1,d], sp [NK,SP_NCOLS].
+    Returns (A, B, lxx, luu [NK,24,24,L] — row N invalid, lx, lu
+    [NK,24,L] — row N invalid, phix [NK,24,L], phixx [NK,24,24,L])."""
+    NK = Xbar.shape[0]
+    N = NK - 1
+    L = Xbar.shape[2]
+    assert L % block_l == 0
+    dt = Xbar.dtype
+    n_lb = L // block_l
+
+    def lane_blk(d, clamp=False):
+        if clamp:
+            return pl.BlockSpec((1, d, block_l),
+                                lambda lb, k, *_: (jnp.minimum(k, N - 1),
+                                                   0, lb),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, d, block_l), lambda lb, k, *_: (k, 0, lb),
+                            memory_space=pltpu.VMEM)
+
+    def mat_blk():
+        return pl.BlockSpec((1, 24, 24, block_l),
+                            lambda lb, k, *_: (k, 0, 0, lb),
+                            memory_space=pltpu.VMEM)
+
+    def const_blk(d, clamp=False):
+        if clamp:
+            return pl.BlockSpec((1, 1, d),
+                                lambda lb, k, *_: (jnp.minimum(k, N - 1),
+                                                   0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, 1, d), lambda lb, k, *_: (k, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_lb, NK),
+        in_specs=[
+            lane_blk(24),                # Xbar
+            lane_blk(24, clamp=True),    # Ubar
+            lane_blk(20, clamp=True),    # reb_delta
+            lane_blk(20, clamp=True),    # reb_eps
+            lane_blk(20, clamp=True),    # reb_act
+            lane_blk(4),                 # al_lam
+            lane_blk(4),                 # al_sig
+            lane_blk(4),                 # al_act
+            const_blk(24, clamp=True),   # xref_s
+            const_blk(24, clamp=True),   # uref_s
+            const_blk(24, clamp=True),   # q_w
+            const_blk(24, clamp=True),   # r_w
+            const_blk(12, clamp=True),   # qfoot_r
+            const_blk(12, clamp=True),   # prelref_r
+            const_blk(12, clamp=True),   # c3
+            const_blk(12, clamp=True),   # swing3
+            const_blk(4, clamp=True),    # td4
+            const_blk(4, clamp=True),    # lo4
+            const_blk(24),               # xref_k
+            const_blk(24),               # qf_t
+            const_blk(12),               # qfoot_t
+            const_blk(12),               # prelref_t
+        ],
+        out_specs=[
+            mat_blk(), mat_blk(),            # A, B
+            lane_blk(24), lane_blk(24),      # lx, lu
+            mat_blk(), mat_blk(),            # lxx, luu
+            lane_blk(24), mat_blk(),         # phix, phixx
+        ],
+        scratch_shapes=[],
+    )
+    out_shapes = [
+        jax.ShapeDtypeStruct((NK, 24, 24, L), dt),
+        jax.ShapeDtypeStruct((NK, 24, 24, L), dt),
+        jax.ShapeDtypeStruct((NK, 24, L), dt),
+        jax.ShapeDtypeStruct((NK, 24, L), dt),
+        jax.ShapeDtypeStruct((NK, 24, 24, L), dt),
+        jax.ShapeDtypeStruct((NK, 24, 24, L), dt),
+        jax.ShapeDtypeStruct((NK, 24, L), dt),
+        jax.ShapeDtypeStruct((NK, 24, 24, L), dt),
+    ]
+    return pl.pallas_call(
+        _lq_kernel(NK, mu),
+        out_shape=out_shapes,
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(jnp.asarray(sp, jnp.float32).astype(dt),
+      Xbar, Ubar, reb_delta, reb_eps, reb_act, al_lam, al_sig, al_act,
+      xref_s[:, None], uref_s[:, None], q_w[:, None], r_w[:, None],
+      qfoot_r[:, None], prelref_r[:, None], c3[:, None], swing3[:, None],
+      td4[:, None], lo4[:, None], xref_k[:, None], qf_t[:, None],
+      qfoot_t[:, None], prelref_t[:, None])
