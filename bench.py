@@ -110,13 +110,51 @@ def build_mhpc(dtype):
             Ubar0, "mhpc_cascaded_solves_per_s")
 
 
+def build_cascade500(dtype):
+    """BASELINE.json primary-metric configuration: HS-DDP at a 500-step
+    cascaded horizon — 250 WB knots (2.5 s @ dt_wb 0.01) + 250 SRB knots
+    (5.0 s @ dt_srb 0.02) over the bound gait, runtime iteration caps.
+    Exercises the fused sweep's VMEM carry and plan memory at ~10x the
+    production horizon (mhpc_config.info structure scaled up)."""
+    from cafempc_tpu.problems import mhpc_problem as mp
+    ref = load_quad_reference(f"{REF_DATA}/bound/quad_reference.csv")
+    qr = QuadReference(ref)
+    qr.initialize(7.6)
+    cfg = mp.load_mhpc_config("/root/reference/MHPC/settings/mhpc_config.info")
+    cfg = mp.load_cost_weights(
+        "/root/reference/MHPC/settings/cost_weights_regular.JSON", cfg)
+    cfg = mp.load_constraint_params(
+        "/root/reference/MHPC/settings/constraint_params_regular.info", cfg)
+    cfg.plan_dur_wb, cfg.dt_wb = 2.5, 0.01
+    cfg.plan_dur_srb, cfg.dt_srb = 5.0, 0.02
+    # WB segment content: dynamics steps + one reset per phase boundary
+    # + the WB->SRB switch; sized from the discovered contact schedule
+    phases = mp.discover_wb_phases(qr, cfg.plan_dur_wb, cfg.dt_wb)
+    wb_content = sum(p[2] for p in phases) + len(phases)
+    cfg.wb_block = wb_content
+    cfg.n_steps_max = wb_content + int(round(cfg.plan_dur_srb / cfg.dt_srb))
+    plan_np, pen_np, Xbar0, Ubar0, meta = mp.build_mhpc_plan(qr, cfg)
+    plan = host_plan_to_device(plan_np, dtype=dtype)
+    pen = jax.tree.map(lambda a: jnp.asarray(np.asarray(a), dtype), pen_np)
+    opts = load_solver_options(
+        "/root/reference/MHPC/settings/ddp_setting.info")
+    opts = dataclasses.replace(opts, max_AL_iter=4, max_DDP_iter=1)
+    x0 = np.asarray(wb_state_ref_at(qr, 0.0), dtype=np.float32)
+    return (mp.make_mhpc_fns_segmented(cfg), opts, plan, pen, x0, Xbar0,
+            Ubar0, "cascade500_solves_per_s")
+
+
 def build_bench_setup(B=None, dtype=jnp.float32):
     """Bench-config solver + batched inputs per the BENCH_* env knobs;
     shared by bench.main and the profiling tools (tools/trace_bench.py,
     tools/probe_iters.py) so they all measure the SAME program."""
-    B = B or int(os.environ.get("BENCH_BATCH", "256"))
     config = os.environ.get("BENCH_CONFIG", "hkd")
-    builders = {"hkd": build_hkd, "mhpc": build_mhpc}
+    # cascade500 per-scenario plan buffers are ~10x the production
+    # horizon; default to a smaller batch there (HBM capacity)
+    default_b = "32" if config == "cascade500" else "256"
+    B = B or int(os.environ.get("BENCH_BATCH", default_b))
+    builders = {"hkd": build_hkd, "mhpc": build_mhpc,
+                "cascade500": build_cascade500}
     if config not in builders:
         raise SystemExit(f"BENCH_CONFIG must be one of {list(builders)}, "
                          f"got {config!r}")
@@ -131,7 +169,10 @@ def build_bench_setup(B=None, dtype=jnp.float32):
 
     seq_ls = os.environ.get("BENCH_SEQ_LS", "1") == "1"
     fused = os.environ.get("BENCH_FUSED", "1") == "1"
-    max_resets = int(os.environ.get("BENCH_MAX_RESETS", "16"))
+    # gather-site cap must cover every reset step in the plan (26 at the
+    # 500-step cascade vs <=10 at the production horizons)
+    default_resets = "32" if config == "cascade500" else "16"
+    max_resets = int(os.environ.get("BENCH_MAX_RESETS", default_resets))
     # reg floor = reg_min_init: identical solves to the reg=0-then-retry
     # schedule on this config (the f32 fused kernel rejects reg=0 on every
     # lane) at half the backward-sweep cost.  BENCH_REG_FLOOR=0 restores
@@ -143,12 +184,18 @@ def build_bench_setup(B=None, dtype=jnp.float32):
             and os.environ.get("BENCH_FUSED_FWD", "1") == "1":
         from cafempc_tpu.problems.hkd_fused import make_hkd_fused_forward
         fused_fwd = make_hkd_fused_forward()
+    # fused LQ path (one Pallas kernel for every per-knot linearization)
+    fused_lq = None
+    if config == "hkd" and os.environ.get("BENCH_FUSED_LQ", "1") == "1":
+        from cafempc_tpu.problems.hkd_fused import make_hkd_fused_lq
+        fused_lq = make_hkd_fused_lq()
     solve_b = make_batched_solver(fns, opts, trim_output=True,
                                   parallel_line_search=not seq_ls,
                                   fused_riccati=fused,
                                   max_resets=max_resets or None,
                                   reg_floor=reg_floor,
-                                  fused_forward=fused_fwd)
+                                  fused_forward=fused_fwd,
+                                  fused_lq=fused_lq)
     return solve_b, plan, pen_b, x0_b, Xb_b, Ub_b, metric
 
 

@@ -330,15 +330,8 @@ def reset_map_partial_ad(x, contact_cur, contact_next):
     return jax.jacfwd(reset_map, argnums=0)(x, contact_cur, contact_next)
 
 
-def reset_map_partial(x, contact_cur, contact_next):
-    """Px = d reset / dx (HKDReset.h:78-136), closed form.
-
-    Matches the reference exactly, including its structure: identity for
-    unchanged legs, zero rows for stance->swing legs, and the (z-masked)
-    foot Jacobian for swing->stance legs.  Assembled analytically instead
-    of a 24-tangent jacfwd — the solver's LQ stage evaluates this on every
-    knot (mask-selected), so it must be as cheap as the dynamics Jacobian.
-    """
+def reset_map_partial_td_lo(x, td4, lo4):
+    """reset_map_partial with precomputed touchdown / liftoff masks."""
     dtype = x.dtype
     eul, pos = x[0:3], x[3:6]
     qdummy = x[12:24]
@@ -348,8 +341,7 @@ def reset_map_partial(x, contact_cur, contact_next):
         jnp.eye(12, dtype=dtype))
     for leg in range(4):
         qleg = qdummy[3 * leg:3 * leg + 3]
-        td = (1.0 - contact_cur[leg]) * contact_next[leg]
-        lo = contact_cur[leg] * (1.0 - contact_next[leg])
+        td, lo = td4[leg], lo4[leg]
         keep = 1.0 - td - lo
         J_eul, J_q = foot_world_jacobians(pos, eul, qleg, leg)
         r = 12 + 3 * leg
@@ -357,6 +349,20 @@ def reset_map_partial(x, contact_cur, contact_next):
         P = P.at[r:r + 3, 3:6].set(td * zmask)
         P = P.at[r:r + 3, r:r + 3].set(td * (zmask @ J_q) + keep * I3)
     return P
+
+
+def reset_map_partial(x, contact_cur, contact_next):
+    """Px = d reset / dx (HKDReset.h:78-136), closed form.
+
+    Matches the reference exactly, including its structure: identity for
+    unchanged legs, zero rows for stance->swing legs, and the (z-masked)
+    foot Jacobian for swing->stance legs.  Assembled analytically instead
+    of a 24-tangent jacfwd — the solver's LQ stage evaluates this on every
+    knot (mask-selected), so it must be as cheap as the dynamics Jacobian.
+    """
+    td4 = (1.0 - contact_cur) * contact_next
+    lo4 = contact_cur * (1.0 - contact_next)
+    return reset_map_partial_td_lo(x, td4, lo4)
 
 
 def _legs_fk_local(qd4):

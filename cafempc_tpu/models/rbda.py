@@ -237,6 +237,112 @@ def contact_kkt_dynamics(model: RBDAModel, q, v, tau, contact, bg_alpha,
     return qdd, lam
 
 
+def contact_kkt_dynamics_partials(model: RBDAModel, q, v, tau, contact,
+                                  bg_alpha, damping=1e-12):
+    """Analytic derivative assembly for `contact_kkt_dynamics` — the
+    reference's KKT-matrix-inverse trick (WBM.cpp:459-505 via pinocchio
+    computeKKTContactDynamicMatrixInverse + computeRNEADerivatives),
+    re-expressed for AD:
+
+        K z = rhs,   dz = K^{-1} (drhs - dK z)
+
+    so every derivative column is ONE application of the already-factored
+    KKT matrix to an assembled right-hand side:
+      * d/dtau:  [I; 0]                         (constant)
+      * d/dv:    [-dh/dv; -dgamma_m/dv]         (18 v-tangents through the
+                                                 v-dependent terms only)
+      * d/dq:    -d/dq [M qdd + h - Jm^T lam;   (18 q-tangents; the
+                        Jm qdd + gamma_m]        RNEA-derivative analogue)
+    — no tangents propagate through the linear solve, and the kinematics
+    stack is differentiated with 18 tangents instead of the naive
+    jacfwd's 48 (none of which could reuse the factorization).
+
+    Returns (dqdd_dq, dqdd_dv, dqdd_dtau, dlam_dq, dlam_dv, dlam_dtau).
+    """
+    dtype = q.dtype
+    nd = model.nd
+    cmask3 = jnp.repeat(contact, 3)
+    M = mass_matrix(model, q)
+    h = bias_force(model, q, v)
+    J = foot_jacobians(model, q).reshape(12, nd)
+    Jm = J * cmask3[:, None]
+    vf = J @ v
+    gamma_m = (foot_drift(model, q, v).reshape(12)
+               + 2.0 * bg_alpha * vf) * cmask3
+    S = jnp.diag((1.0 - cmask3) + damping * cmask3)
+    K = jnp.block([[M, Jm.T], [Jm, -S]])
+    rhs = jnp.concatenate([tau - h, -gamma_m])
+    z = jnp.linalg.solve(K, rhs)
+    qdd = z[:nd]
+    z_l = z[nd:]                    # = -lam_full
+
+    # --- q columns: directional derivatives of the KKT residual --------
+    def resid_q(q_):
+        M_ = mass_matrix(model, q_)
+        h_ = bias_force(model, q_, v)
+        J_ = foot_jacobians(model, q_).reshape(12, nd)
+        Jm_ = J_ * cmask3[:, None]
+        g_ = (foot_drift(model, q_, v).reshape(12)
+              + 2.0 * bg_alpha * (J_ @ v)) * cmask3
+        top = M_ @ qdd + h_ + Jm_.T @ z_l
+        bot = Jm_ @ qdd + g_
+        return jnp.concatenate([top, bot])
+
+    dG_dq = jax.jacfwd(resid_q)(q)                       # [nd+12, nd]
+
+    # --- v columns ------------------------------------------------------
+    def resid_v(v_):
+        h_ = bias_force(model, q, v_)
+        g_ = (foot_drift(model, q, v_).reshape(12)
+              + 2.0 * bg_alpha * (J @ v_)) * cmask3
+        return jnp.concatenate([h_, g_])
+
+    dG_dv = jax.jacfwd(resid_v)(v)                       # [nd+12, nd]
+
+    # --- one multi-RHS application of the factored KKT matrix -----------
+    E_tau = jnp.concatenate([jnp.eye(nd, dtype=dtype),
+                             jnp.zeros((12, nd), dtype)], axis=0)
+    RHS = jnp.concatenate([-dG_dq, -dG_dv, E_tau], axis=1)
+    DZ = jnp.linalg.solve(K, RHS)
+    dqdd = DZ[:nd]
+    dlam = -DZ[nd:] * cmask3[:, None]
+    return (dqdd[:, :nd], dqdd[:, nd:2 * nd], dqdd[:, 2 * nd:],
+            dlam[:, :nd], dlam[:, nd:2 * nd], dlam[:, 2 * nd:])
+
+
+def impulse_dynamics_partials(model: RBDAModel, q, v, contact,
+                              damping=1e-12):
+    """Analytic partials of `impulse_dynamics` (WBM.cpp:508-543,
+    KKTImpactDerivatives): same factored-KKT reuse as the contact
+    dynamics.  Returns (dvpost_dq, dvpost_dv)."""
+    dtype = q.dtype
+    nd = model.nd
+    cmask3 = jnp.repeat(contact, 3)
+    M = mass_matrix(model, q)
+    J = foot_jacobians(model, q).reshape(12, nd)
+    Jm = J * cmask3[:, None]
+    S = jnp.diag((1.0 - cmask3) + damping * cmask3)
+    K = jnp.block([[M, Jm.T], [Jm, -S]])
+    rhs = jnp.concatenate([M @ v, jnp.zeros(12, dtype)])
+    z = jnp.linalg.solve(K, rhs)
+    v_post = z[:nd]
+    z_l = z[nd:]
+
+    def resid_q(q_):
+        M_ = mass_matrix(model, q_)
+        J_ = foot_jacobians(model, q_).reshape(12, nd)
+        Jm_ = J_ * cmask3[:, None]
+        top = M_ @ (v_post - v) + Jm_.T @ z_l
+        bot = Jm_ @ v_post
+        return jnp.concatenate([top, bot])
+
+    dG_dq = jax.jacfwd(resid_q)(q)
+    E_v = jnp.concatenate([M, jnp.zeros((12, nd), dtype)], axis=0)
+    RHS = jnp.concatenate([-dG_dq, E_v], axis=1)
+    DZ = jnp.linalg.solve(K, RHS)
+    return DZ[:nd, :nd], DZ[:nd, nd:]
+
+
 def impulse_dynamics(model: RBDAModel, q, v, contact, damping=1e-12):
     """Inelastic impact (restitution 0): M(v+ - v) = J^T Lam, Jm v+ = 0
     (WBM.cpp:427-456 / pinocchio impulseDynamics).  Returns (v_post,

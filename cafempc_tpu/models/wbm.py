@@ -65,6 +65,42 @@ def dynamics_partials(model, x, u, dt, contact, bg_alpha=10.0):
     return A, B, C, D
 
 
+def dynamics_partials_analytic(model, x, u, dt, contact, bg_alpha=10.0):
+    """A, B, C, D from the factored-KKT analytic assembly
+    (rbda.contact_kkt_dynamics_partials — the reference's
+    WBM::KKTContactDynamicsDerivatives structure, WBM.cpp:459-505):
+    only 18 q-tangents run through the kinematics stack vs jacfwd's 48,
+    and no tangents run through the KKT solve."""
+    q, v = x[:NQ], x[NQ:]
+    tau = _tau_full(u, x.dtype)
+    (dqdd_dq, dqdd_dv, dqdd_dtau,
+     dlam_dq, dlam_dv, dlam_dtau) = rbda.contact_kkt_dynamics_partials(
+        model, q, v, tau, contact, bg_alpha)
+    dtype = x.dtype
+    I = jnp.eye(NQ, dtype=dtype)
+    # xnext = [q + v dt; v + qdd dt]
+    A = jnp.block([[I, dt * I],
+                   [dt * dqdd_dq, I + dt * dqdd_dv]])
+    B = jnp.concatenate([jnp.zeros((NQ, US), dtype),
+                         dt * dqdd_dtau[:, 6:]], axis=0)
+    C = jnp.concatenate([dlam_dq, dlam_dv], axis=1)
+    D = dlam_dtau[:, 6:]
+    return A, B, C, D
+
+
+def impact_partial_analytic(model, x, contact_cur, contact_next):
+    """Px for the impulse reset from the factored KKT
+    (rbda.impulse_dynamics_partials; WBM.cpp:508-543)."""
+    q, v = x[:NQ], x[NQ:]
+    impact_mask = (1.0 - contact_cur) * contact_next
+    dvp_dq, dvp_dv = rbda.impulse_dynamics_partials(model, q, v,
+                                                    impact_mask)
+    dtype = x.dtype
+    I = jnp.eye(NQ, dtype=dtype)
+    Z = jnp.zeros((NQ, NQ), dtype)
+    return jnp.block([[I, Z], [dvp_dq, dvp_dv]])
+
+
 def impact(model, x, contact_cur, contact_next):
     """Impulse reset at touchdown (WBM.cpp:178-206).  Legs entering contact
     get an inelastic impact; q unchanged.  Returns (xnext, impulse)."""

@@ -194,16 +194,20 @@ def _lq_kernel(n_knots, mu):
             ey_f = [f[l][2], jnp.zeros_like(L0), -f[l][0]]
             cqx = _rotT_vec(R, ex_f)
             cqy = _rotT_vec(R, ey_f)
-            dwd_dqd.append([cqx, cqy])
+            dwd_dqd.append([[cqx[i] / Idg[i] for i in range(3)],
+                            [cqy[i] / Idg[i] for i in range(3)]])
             a = arms[l]
             ax_e = [[jnp.zeros_like(L0), a[2], -a[1]],
                     [-a[2], jnp.zeros_like(L0), a[0]],
                     [a[1], -a[0], jnp.zeros_like(L0)]]
             cl = c3[3 * l]
             dwd_dgrf.append([
-                [vv * cl for vv in _rotT_vec(R, ax_e[0])],
-                [vv * cl for vv in _rotT_vec(R, ax_e[1])],
-                [vv * cl for vv in _rotT_vec(R, ax_e[2])]])
+                [vv * cl / Idg[i]
+                 for i, vv in enumerate(_rotT_vec(R, ax_e[0]))],
+                [vv * cl / Idg[i]
+                 for i, vv in enumerate(_rotT_vec(R, ax_e[1]))],
+                [vv * cl / Idg[i]
+                 for i, vv in enumerate(_rotT_vec(R, ax_e[2]))]])
 
         # ---- assemble A = I + dt Fx ---------------------------------
         A = _mat_rows_zero(24, 24, L0)
@@ -286,9 +290,9 @@ def _lq_kernel(n_knots, mu):
                     Bm[6 + i][3 * l + j] = zb * dwd_dgrf[l][j][i]
             # v rows: kron(contact, I3)/MASS
             for l in range(4):
-                Bm[9 + i][3 * l + i] = zb * c3[3 * l + i] / MASS
+                Bm[9 + i][3 * l + i] = zb * c3[3 * l + i] / MASS * one
         for j in range(12):
-            Bm[12 + j][12 + j] = zb * swing3[j]
+            Bm[12 + j][12 + j] = zb * swing3[j] * one
         B_ref[0] = _stack_mat(Bm)
 
         # ===== running-cost partials (masked by run_m) ================
@@ -301,7 +305,7 @@ def _lq_kernel(n_knots, mu):
         lxx_d = [run_m * dt * qw[i] * jnp.ones_like(L0) for i in range(24)]
         luu = _mat_rows_zero(24, 24, L0)
         for i in range(24):
-            luu[i][i] = run_m * dt * rw[i]
+            luu[i][i] = run_m * dt * rw[i] * jnp.ones_like(L0)
 
         # foot-place regularization: D = c3-masked (E_BLK - E_TILE)
         qf = qfoot_r_ref[0, 0]             # (12,)
@@ -519,7 +523,7 @@ def fused_hkd_lq(Xbar, Ubar,
         out_shape=out_shapes,
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(jnp.asarray(sp, jnp.float32).astype(dt),
+    )(jnp.asarray(sp, dt),
       Xbar, Ubar, reb_delta, reb_eps, reb_act, al_lam, al_sig, al_act,
       xref_s[:, None], uref_s[:, None], q_w[:, None], r_w[:, None],
       qfoot_r[:, None], prelref_r[:, None], c3[:, None], swing3[:, None],

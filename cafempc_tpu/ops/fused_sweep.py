@@ -19,6 +19,13 @@ SinglePhase.cpp:323-391 + MultiPhaseDDP.cpp:174-213): per step k
                          (A holds the reset-map partial Px; padding steps
                          have A = 0).
 
+Because a step is EITHER a dynamics step (reads lx/lxx) OR a transform
+step (reads phix/phixx), the caller passes ONE merged cost stream
+(lx := where(w, phix, lx), lxx := where(w, phixx, lxx)) and the kernel's
+transform branch is just the Q-expansion base before regularization —
+one fewer xs*xs operand stream, which is what fits the 36-state cascade
+under the 16MB scoped-VMEM limit.
+
 Layout: operands knot-major, lane-minor: A [N,xs,xs,L], lx [N,xs,L], ...;
 L is the scenario lane batch (multiple of 128).
 """
@@ -59,7 +66,7 @@ def _mv_T(X, v, k):
 def _sweep_kernel(xs, us, n_steps):
     def kernel(w_ref, reg_ref,
                A_ref, B_ref, lx_ref, lu_ref, lxx_ref, luu_ref, lux_ref,
-               phix_ref, phixx_ref, d_ref, phixT_ref, phixxT_ref,
+               d_ref, phixT_ref, phixxT_ref,
                G_ref, H_ref, K_ref, dU_ref, Qu_ref, Quu_ref, Qux_ref,
                ok_ref, dv_ref,
                Gc_s, Hc_s, ok_s, dv1_s, dv2_s):
@@ -78,13 +85,11 @@ def _sweep_kernel(xs, us, n_steps):
 
         A = A_ref[0]
         Bm = B_ref[0]
-        lx = lx_ref[0]
+        lx = lx_ref[0]                     # merged: phix on transform steps
         lu = lu_ref[0]
-        lxx = lxx_ref[0]
+        lxx = lxx_ref[0]                   # merged: phixx on transform steps
         luu = luu_ref[0]
         lux = lux_ref[0]
-        phx = phix_ref[0]
-        phxx = phixx_ref[0]
         dft = d_ref[0]
         G1 = Gc_s[:]
         H1 = Hc_s[:]
@@ -96,15 +101,18 @@ def _sweep_kernel(xs, us, n_steps):
         AtHA = _mm_TN(A, HA, xs)
         AtGn = _mv_T(A, [Gn[j] for j in range(xs)], xs)
 
-        # ---- transform branch: G = phx + A^T Gn, H = phxx + A^T H' A
-        G_tr = phx + AtGn
-        H_tr = phxx + AtHA
+        # shared Q-expansion base; with the merged cost streams the
+        # transform branch (G = phix + A^T Gn, H = phixx + A^T H' A) is
+        # exactly this base before regularization
+        Qx = lx + AtGn
+        Qxx_base = lxx + AtHA
+        G_tr = Qx
+        H_tr = Qxx_base
 
         # ---- dynamics branch
         HB = _mm_TN(H1, Bm, xs)
-        Qx = lx + AtGn
         Qu = lu + _mv_T(Bm, [Gn[j] for j in range(xs)], xs)
-        Qxx = lxx + AtHA + _eye(xs, A.dtype)[:, :, None] * reg[None, None, :]
+        Qxx = Qxx_base + _eye(xs, A.dtype)[:, :, None] * reg[None, None, :]
         Qxx = 0.5 * (Qxx + Qxx.swapaxes(0, 1))
         Quu = (luu + _mm_TN(Bm, HB, xs)
                + _eye(us, A.dtype)[:, :, None] * reg[None, None, :])
@@ -191,17 +199,21 @@ def _sweep_kernel(xs, us, n_steps):
 
 
 @functools.partial(jax.jit, static_argnames=("block_l",))
-def fused_backward_sweep(A, B, lx, lu, lxx, luu, lux, phix, phixx, defect,
-                         w, reg, block_l=128):
+def fused_backward_sweep(A, B, lx, lu, lxx, luu, lux, phix_term,
+                         phixx_term, defect, w, reg, block_l=128):
     """Fused N-step backward sweep over lane-batched operands.
 
     Shapes (N steps, L lanes): A [N,xs,xs,L], B [N,xs,us,L], lx [N,xs,L],
     lu [N,us,L], lxx [N,xs,xs,L], luu [N,us,us,L], lux [N,us,xs,L],
-    phix [N+1,xs,L], phixx [N+1,xs,xs,L], defect [N+1,xs,L] (entry k+1 is
-    the defect used at step k), w [N] int32 transform flags, reg [L]
-    per-lane regularization (keeps the cost-Hessian operands independent
-    of the regularization retry loop so XLA hoists their lane-layout
-    transposes out of the while body).
+    phix_term [xs,L] / phixx_term [xs,xs,L] (terminal-knot cost),
+    defect [N+1,xs,L] (entry k+1 is the defect used at step k), w [N]
+    int32 transform flags, reg [L] per-lane regularization (keeps the
+    cost-Hessian operands independent of the regularization retry loop so
+    XLA hoists their lane-layout transposes out of the while body).
+
+    lx/lxx are the MERGED cost streams: the caller selects
+    where(w, phix[k], lx[k]) / where(w, phixx[k], lxx[k]) per step, since
+    transform steps read only phix/phixx and dynamics steps only lx/lxx.
 
     Returns (G [N,xs,L] for knots 0..N-1, H [N,xs,xs,L], K [N,us,xs,L],
     dU, Qu, Quu, Qux, ok [1,L], dv [2,L] = (sum QudU, -sum QudU)).
@@ -242,7 +254,6 @@ def fused_backward_sweep(A, B, lx, lu, lxx, luu, lux, phix, phixx, defect,
                          memory_space=pltpu.VMEM),
             step_mat(xs, xs), step_mat(xs, us), step_vec(xs), step_vec(us),
             step_mat(xs, xs), step_mat(us, us), step_mat(us, xs),
-            step_vec(xs), step_mat(xs, xs),
             # defect at knot k+1 for step k:
             pl.BlockSpec((1, xs, block_l), lambda lb, k, *_: (N - k, 0, lb),
                          memory_space=pltpu.VMEM),
@@ -279,5 +290,5 @@ def fused_backward_sweep(A, B, lx, lu, lxx, luu, lux, phix, phixx, defect,
         out_shape=out_shapes,
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(w_arr, reg_arr, A, B, lx, lu, lxx, luu, lux, phix[:-1], phixx[:-1],
-      defect, phix[-1], phixx[-1])
+    )(w_arr, reg_arr, A, B, lx, lu, lxx, luu, lux,
+      defect, phix_term, phixx_term)

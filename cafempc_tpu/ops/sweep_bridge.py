@@ -16,23 +16,28 @@ from cafempc_tpu.ops.fused_sweep import fused_backward_sweep
 
 
 @custom_batching.custom_vmap
-def sweep_op(A, B, lx, lu, lxx, luu, lux, phix, phixx, defect, w, reg):
+def sweep_op(A, B, lx, lu, lxx, luu, lux, phix_term, phixx_term, defect,
+             w, reg):
     """Backward sweep for ONE scenario.  Shapes: A [N,xs,xs], B [N,xs,us],
-    lx [N,xs], ..., phix [N+1,xs], defect [N+1,xs], w [N] int32, reg
-    scalar.  Returns (G [N,xs], H, K, dU, Qu, Quu, Qux, ok [], dv [2])."""
+    lx [N,xs] (MERGED: phix rows on transform steps), lxx [N,xs,xs]
+    (merged likewise), phix_term [xs]/phixx_term [xs,xs] terminal cost,
+    defect [N+1,xs], w [N] int32, reg scalar.
+    Returns (G [N,xs], H, K, dU, Qu, Quu, Qux, ok [], dv [2])."""
     xs = A.shape[1]
     us = B.shape[2]
     I_u = jnp.eye(us, dtype=A.dtype)
 
     def step(carry, inp):
         G1, H1, ok, dv1, dv2 = carry
-        (Ak, Bk, lxk, luk, lxxk, luuk, luxk, phx, phxx, dft, wk) = inp
+        (Ak, Bk, lxk, luk, lxxk, luuk, luxk, dft, wk) = inp
         Gn = G1 + H1 @ dft
-        G_tr = phx + Ak.T @ Gn
-        H_tr = phxx + Ak.T @ H1 @ Ak
+        # merged cost streams: Qx/Qxx_base double as the transform branch
         Qx = lxk + Ak.T @ Gn
+        Qxx_base = lxxk + Ak.T @ H1 @ Ak
+        G_tr = Qx
+        H_tr = Qxx_base
         Qu = luk + Bk.T @ Gn
-        Qxx = lxxk + Ak.T @ H1 @ Ak + reg * jnp.eye(xs, dtype=A.dtype)
+        Qxx = Qxx_base + reg * jnp.eye(xs, dtype=A.dtype)
         Qxx = 0.5 * (Qxx + Qxx.T)
         Quu = luuk + Bk.T @ H1 @ Bk + reg * I_u
         Qux = luxk + Bk.T @ H1 @ Ak
@@ -58,10 +63,9 @@ def sweep_op(A, B, lx, lu, lxx, luu, lux, phix, phixx, defect, w, reg):
         return (G0, H0, ok & (ok_k | wf), dv1 + dv_k, dv2 - dv_k), out
 
     zero = jnp.zeros((), A.dtype)
-    inp = (A, B, lx, lu, lxx, luu, lux, phix[:-1], phixx[:-1], defect[1:],
-           w)
+    inp = (A, B, lx, lu, lxx, luu, lux, defect[1:], w)
     (G0, H0, ok, dv1, dv2), (G, H, K, dU, Qu, Quu, Qux) = jax.lax.scan(
-        step, (phix[-1], phixx[-1], jnp.bool_(True), zero, zero), inp,
+        step, (phix_term, phixx_term, jnp.bool_(True), zero, zero), inp,
         reverse=True)
     dv = jnp.stack([dv1, dv2])
     return G, H, K, dU, Qu, Quu, Qux, ok.astype(A.dtype), dv
@@ -70,16 +74,15 @@ def sweep_op(A, B, lx, lu, lxx, luu, lux, phix, phixx, defect, w, reg):
 @sweep_op.def_vmap
 def _sweep_op_vmap(axis_size, in_batched, A, B, lx, lu, lxx, luu, lux,
                    phix, phixx, defect, w, reg):
+    # phix/phixx here are the TERMINAL-knot cost (the step streams are
+    # merged into lx/lxx by the caller)
     (Ab, Bb, lxb, lub, lxxb, luub, luxb, phixb, phixxb, defectb, wb,
      regb) = in_batched
     assert not wb, "plan flags must be unbatched"
 
     Bsz = axis_size
     xs = A.shape[1 + int(Ab)]
-    # VMEM budget: per-step operand blocks scale with xs^2 * block_l; at
-    # xs=36 (MHPC cascade) a 128-lane block overflows the 16MB scoped
-    # limit, so halve the lane block for wide states.
-    block_l = 128 if xs <= 24 else 64
+    block_l = 128
     pad = (-Bsz) % block_l
     L = Bsz + pad
 
@@ -93,11 +96,24 @@ def _sweep_op_vmap(axis_size, in_batched, A, B, lx, lu, lxx, luu, lux,
         return x
 
     reg_l = lane(reg, regb) if regb else reg
-    out = fused_backward_sweep(
-        lane(A, Ab), lane(B, Bb), lane(lx, lxb), lane(lu, lub),
-        lane(lxx, lxxb), lane(luu, luub), lane(lux, luxb),
-        lane(phix, phixb), lane(phixx, phixxb), lane(defect, defectb),
-        w, reg_l, block_l=block_l)
+    ops = (lane(A, Ab), lane(B, Bb), lane(lx, lxb), lane(lu, lub),
+           lane(lxx, lxxb), lane(luu, luub), lane(lux, luxb),
+           lane(phix, phixb), lane(phixx, phixxb), lane(defect, defectb))
+    if xs <= 24 or L == block_l:
+        out = fused_backward_sweep(*ops, w, reg_l, block_l=block_l)
+    else:
+        # Wide states (xs=36 MHPC cascade) + multiple lane blocks crash
+        # the Mosaic compiler (round-3 probe: (36,12,L=256) fails,
+        # (36,12,L=128) and (24,12,L=256) compile) — run one kernel call
+        # per 128-lane chunk and stitch the lane axis back together.
+        chunks = []
+        for c in range(0, L, block_l):
+            sl = lambda x: x[..., c:c + block_l]
+            reg_c = sl(reg_l) if regb else reg_l
+            chunks.append(fused_backward_sweep(
+                *(sl(o) for o in ops), w, reg_c, block_l=block_l))
+        out = tuple(jnp.concatenate(parts, axis=-1)
+                    for parts in zip(*chunks))
     G, H, K, dU, Qu, Quu, Qux, ok, dv = out
 
     def unlane(x):

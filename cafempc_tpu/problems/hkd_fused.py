@@ -23,7 +23,10 @@ from jax import custom_batching
 
 from cafempc_tpu.models import hkd
 from cafempc_tpu.ops import fused_hkd_trial as ft
+from cafempc_tpu.solver import penalty
 from cafempc_tpu.problems.hkd_problem import (GROUND_HEIGHT, MU_FRIC,
+                                              _E_BLK, _E_TILE, _GU_CONST,
+                                              _np_facets,
                                               _tracking_weights,
                                               _footreg_weights)
 
@@ -153,27 +156,42 @@ def _trial_op_vmap(axis_size, in_batched, eps, x0, Xbar, dX, Ubar, dUK,
     return res, tuple([True] * 12)
 
 
+def _plan_consts(plan, dtype):
+    """Plan-derived per-knot constants shared by the fused forward and
+    fused LQ paths (all pure functions of the plan — hoisted by XLA)."""
+    sd, kd = plan.step, plan.knot
+    q_w, r_w, _ = jax.vmap(_tracking_weights)(sd.contact)
+    _, _, qf_t = jax.vmap(_tracking_weights)(kd.contact)
+    qfoot_r = jax.vmap(_footreg_weights)(sd.contact)
+    qfoot_t = jax.vmap(_footreg_weights)(kd.contact)
+    prelref_r = sd.pf_ref - jnp.tile(sd.com_ref, (1, 4))
+    prelref_t = kd.pf_ref - jnp.tile(kd.com_ref, (1, 4))
+    c3 = jnp.repeat(sd.contact, 3, axis=1)
+    swing3 = 1.0 - c3
+    td4 = (1.0 - sd.contact) * sd.contact_next
+    lo4 = sd.contact * (1.0 - sd.contact_next)
+    run_m = sd.active * (1.0 - sd.is_reset)
+    prev_act = jnp.concatenate(
+        [jnp.ones((1,), dtype), sd.active])  # prev_act[k]=active[k-1]
+    term_m = kd.active * kd.is_terminal
+    return dict(q_w=q_w, r_w=r_w, qf_t=qf_t, qfoot_r=qfoot_r,
+                qfoot_t=qfoot_t, prelref_r=prelref_r, prelref_t=prelref_t,
+                c3=c3, swing3=swing3, td4=td4, lo4=lo4, run_m=run_m,
+                prev_act=prev_act, term_m=term_m)
+
+
 def make_hkd_fused_forward():
     """Returns fused_forward(plan, pen, tr, x0, eps) for make_solver."""
 
     def fused_forward(plan, pen, tr, x0, eps):
         sd, kd = plan.step, plan.knot
         dtype = tr.Xbar.dtype
-        # ---- plan-derived per-knot constants (hoisted by XLA) -------
-        q_w, r_w, _ = jax.vmap(_tracking_weights)(sd.contact)
-        _, _, qf_t = jax.vmap(_tracking_weights)(kd.contact)
-        qfoot_r = jax.vmap(_footreg_weights)(sd.contact)
-        qfoot_t = jax.vmap(_footreg_weights)(kd.contact)
-        prelref_r = sd.pf_ref - jnp.tile(sd.com_ref, (1, 4))
-        prelref_t = kd.pf_ref - jnp.tile(kd.com_ref, (1, 4))
-        c3 = jnp.repeat(sd.contact, 3, axis=1)
-        swing3 = 1.0 - c3
-        td4 = (1.0 - sd.contact) * sd.contact_next
-        lo4 = sd.contact * (1.0 - sd.contact_next)
-        run_m = sd.active * (1.0 - sd.is_reset)
-        prev_act = jnp.concatenate(
-            [jnp.ones((1,), dtype), sd.active])  # prev_act[k]=active[k-1]
-        term_m = kd.active * kd.is_terminal
+        cc = _plan_consts(plan, dtype)
+        (q_w, r_w, qf_t, qfoot_r, qfoot_t, prelref_r, prelref_t, c3,
+         swing3, td4, lo4, run_m, prev_act, term_m) = (
+            cc["q_w"], cc["r_w"], cc["qf_t"], cc["qfoot_r"], cc["qfoot_t"],
+            cc["prelref_r"], cc["prelref_t"], cc["c3"], cc["swing3"],
+            cc["td4"], cc["lo4"], cc["run_m"], cc["prev_act"], cc["term_m"])
 
         dUK = tr.dU + jnp.einsum("kij,kj->ki", tr.K, tr.dX[:-1])
 
@@ -192,3 +210,150 @@ def make_hkd_fused_forward():
                 okf > 0.5)
 
     return fused_forward
+
+
+# ---------------------------------------------------------------------
+# Fused LQ approximation (ops/fused_hkd_lq.py)
+# ---------------------------------------------------------------------
+
+@custom_batching.custom_vmap
+def _lq_op(X, U, reb_delta, reb_eps, reb_act, al_lam, al_sig, al_act,
+           xref_s, uref_s, q_w, r_w, qfoot_r, prelref_r, c3, swing3,
+           td4, lo4, xref_k, qf_t, qfoot_t, prelref_t,
+           dt_s, run_m, is_reset, act_s, term_m):
+    """Single-scenario LQ approximation (plain JAX fallback) with
+    semantics identical to hsddp.lq_approx over make_hkd_fns():
+    dynamics/reset Jacobians, ReB-folded running-cost partials, AL-folded
+    terminal partials (SinglePhase.cpp:265-320).
+
+    Returns (A [N,24,24], B, lx [N,24], lu, lxx, luu, phix [NK,24],
+    phixx [NK,24,24]).
+    """
+    contact = c3.reshape(-1, 4, 3)[:, :, 0]
+    A_d, B_d = jax.vmap(hkd.dynamics_partials)(X[:-1], U, dt_s, contact)
+    P = jax.vmap(hkd.reset_map_partial_td_lo)(X[:-1], td4, lo4)
+    isr = is_reset[:, None, None]
+    act = act_s[:, None, None]
+    A = jnp.where(isr > 0, P, A_d) * act
+    B = jnp.where(isr > 0, jnp.zeros_like(B_d), B_d) * act
+
+    # running-cost partials (HKDCost.h:8-100)
+    dx = X[:-1] - xref_s
+    du = U - uref_s
+    lx = q_w * dx
+    lu = r_w * du
+    lxx = jax.vmap(jnp.diag)(q_w)
+    luu = jax.vmap(jnp.diag)(r_w)
+    # foot-place regularization: D = c3-masked (E_BLK - E_TILE)
+    E = jnp.asarray(_E_BLK - _E_TILE, X.dtype)
+    D = c3[:, :, None] * E[None]                      # [N, 12, 24]
+    pcom = X[:, 3:6]
+    prel = X[:, 12:24] - jnp.tile(pcom, (1, 4))
+    d_r = prel[:-1] - prelref_r
+    lx = lx + jnp.einsum("kji,kj->ki", D, qfoot_r * d_r)
+    lxx = lxx + jnp.einsum("kji,kj,kjl->kil", D, qfoot_r, D)
+    # ReB friction-pyramid Gauss-Newton terms (constant facet Jacobian)
+    F = jnp.asarray(_np_facets(), X.dtype)
+    g = jnp.einsum("fi,kli->klf", F,
+                   U[:, 0:12].reshape(-1, 4, 3)).reshape(-1, 20)
+    d1, d2 = penalty.reb_barrier_d(g, reb_delta, reb_act)
+    gu = jnp.asarray(_GU_CONST, X.dtype)
+    lu = lu + (reb_eps * d1) @ gu
+    luu = luu + jnp.einsum("kf,fi,fj->kij", reb_eps * d2, gu, gu)
+    rm = (run_m * dt_s)
+    lx = lx * rm[:, None]
+    lu = lu * rm[:, None]
+    lxx = lxx * rm[:, None, None]
+    luu = luu * rm[:, None, None]
+
+    # terminal partials + AL touchdown (HKDConstraints.cpp:68-160)
+    dxt = X - xref_k
+    phix = qf_t * dxt
+    phixx = jax.vmap(jnp.diag)(qf_t)
+    d_t = prel - prelref_t
+    # qfoot_t already carries the contact mask (0/1), so the unmasked E
+    # placement is identical to _dprel_dx(kd.contact)
+    phix = phix + 20.0 * jnp.einsum("ji,kj->ki", E, qfoot_t * d_t)
+    phixx = phixx + 20.0 * jnp.einsum("kj,ji,jl->kil", qfoot_t, E, E)
+    h = jax.vmap(hkd.foot_heights)(X) - GROUND_HEIGHT
+    hx = jax.vmap(hkd.touchdown_height_partials)(X)
+    ag, ah = jax.vmap(penalty.al_partials)(h, hx, al_lam, al_sig, al_act)
+    phix = (phix + ag) * term_m[:, None]
+    phixx = (phixx + ah) * term_m[:, None, None]
+    return A, B, lx, lu, lxx, luu, phix, phixx
+
+
+@_lq_op.def_vmap
+def _lq_op_vmap(axis_size, in_batched, X, U, reb_delta, reb_eps, reb_act,
+                al_lam, al_sig, al_act,
+                xref_s, uref_s, q_w, r_w, qfoot_r, prelref_r, c3, swing3,
+                td4, lo4, xref_k, qf_t, qfoot_t, prelref_t,
+                dt_s, run_m, is_reset, act_s, term_m):
+    from cafempc_tpu.ops.fused_hkd_lq import fused_hkd_lq
+    lane_args = (X, U, reb_delta, reb_eps, reb_act, al_lam, al_sig,
+                 al_act)
+    const_args = (xref_s, uref_s, q_w, r_w, qfoot_r, prelref_r, c3,
+                  swing3, td4, lo4, xref_k, qf_t, qfoot_t, prelref_t)
+    n_lane = len(lane_args)
+    assert not any(in_batched[n_lane:]), \
+        "plan-derived constants must be unbatched"
+
+    Bsz = axis_size
+    block_l = 128
+    pad = (-Bsz) % block_l
+
+    def lane(x, batched):
+        if not batched:
+            x = jnp.broadcast_to(x[None], (Bsz,) + x.shape)
+        x = jnp.moveaxis(x, 0, -1)
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.repeat(x[..., :1], pad, axis=-1)], axis=-1)
+        return x
+
+    laned = [lane(a, b) for a, b in zip(lane_args, in_batched[:n_lane])]
+
+    z1 = jnp.zeros((1,), dt_s.dtype)
+    sp = jnp.stack([
+        jnp.concatenate([dt_s, z1]),
+        jnp.concatenate([run_m, z1]),
+        jnp.concatenate([is_reset, z1]),
+        jnp.concatenate([act_s, z1]),
+        term_m], axis=1)
+
+    out = fused_hkd_lq(*laned, *const_args, sp, block_l=block_l,
+                       mu=MU_FRIC)
+
+    def unlane(x):
+        return jnp.moveaxis(x[..., :Bsz], -1, 0)
+
+    N = dt_s.shape[0]
+    A, B, lx, lu, lxx, luu, phix, phixx = out
+    res = (unlane(A[:N]), unlane(B[:N]), unlane(lx[:N]), unlane(lu[:N]),
+           unlane(lxx[:N]), unlane(luu[:N]), unlane(phix), unlane(phixx))
+    return res, tuple([True] * 8)
+
+
+def make_hkd_fused_lq():
+    """Returns fused_lq(plan, pen, tr) for make_solver(..., fused_lq=...):
+    the whole LQ approximation (dynamics + reset Jacobians, ReB-folded
+    running-cost partials, AL-folded terminal partials) in ONE
+    lane-batched Pallas kernel under the scenario vmap, with a plain-JAX
+    per-scenario fallback (ops/fused_hkd_lq.py)."""
+
+    def fused_lq(plan, pen, tr):
+        sd, kd = plan.step, plan.knot
+        dtype = tr.Xbar.dtype
+        cc = _plan_consts(plan, dtype)
+        A, B, lx, lu, lxx, luu, phix, phixx = _lq_op(
+            tr.X, tr.U, pen.reb_delta, pen.reb_eps,
+            jnp.asarray(pen.reb_active, dtype), pen.al_lambda,
+            pen.al_sigma, jnp.asarray(pen.al_active, dtype),
+            sd.x_ref, sd.u_ref, cc["q_w"], cc["r_w"], cc["qfoot_r"],
+            cc["prelref_r"], cc["c3"], cc["swing3"], cc["td4"], cc["lo4"],
+            kd.x_ref, cc["qf_t"], cc["qfoot_t"], cc["prelref_t"],
+            sd.dt, cc["run_m"], sd.is_reset, sd.active, cc["term_m"])
+        return tr._replace(A=A, B=B, lx=lx, lu=lu, lxx=lxx, luu=luu,
+                           phix=phix, phixx=phixx)
+
+    return fused_lq

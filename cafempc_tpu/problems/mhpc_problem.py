@@ -22,6 +22,7 @@ MHPCReset.*, MHPCFootStep.h):
 """
 import dataclasses
 import json
+import os
 import re
 
 import numpy as np
@@ -528,10 +529,20 @@ def make_mhpc_fns(cfg: MHPCConfig, model=None, mode="joint") -> ProblemFns:
         def reset_partial(x, sd):
             return jnp.eye(XS, dtype=x.dtype)
     else:
-        def dyn_partials(x, u, sd):
-            (A, B), (C, D) = jax.jacfwd(
-                lambda x_, u_: dyn(x_, u_, sd), argnums=(0, 1))(x, u)
-            return A, B, C, D
+        use_ad = os.environ.get("CAFEMPC_WB_AD_PARTIALS", "0") == "1"
+
+        if mode == "wb" and not use_ad:
+            def dyn_partials(x, u, sd):
+                """Factored-KKT analytic assembly (the reference's
+                WBM.cpp:459-505 structure): 18 q-tangents instead of
+                jacfwd's 48, no tangents through the contact solve."""
+                return wbm.dynamics_partials_analytic(
+                    model, x, u, sd.dt, sd.contact, cfg.BG_alpha)
+        else:
+            def dyn_partials(x, u, sd):
+                (A, B), (C, D) = jax.jacfwd(
+                    lambda x_, u_: dyn(x_, u_, sd), argnums=(0, 1))(x, u)
+                return A, B, C, D
 
         def reset(x, sd):
             """(MHPCReset.cpp:4-28): impact on new contacts, then the
@@ -542,8 +553,20 @@ def make_mhpc_fns(cfg: MHPCConfig, model=None, mode="joint") -> ProblemFns:
             xr = jnp.where(has_impact, ximp, x)
             return jnp.where(sd.model_switch > 0, xr * body_mask, xr)
 
-        def reset_partial(x, sd):
-            return jax.jacfwd(lambda x_: reset(x_, sd))(x)
+        if use_ad:
+            def reset_partial(x, sd):
+                return jax.jacfwd(lambda x_: reset(x_, sd))(x)
+        else:
+            def reset_partial(x, sd):
+                """Impact Jacobian from the factored impulse KKT
+                (WBM.cpp:508-543) + the diagonal model-switch projection."""
+                P_imp = wbm.impact_partial_analytic(
+                    model, x, sd.contact, sd.contact_next)
+                has_impact = jnp.any((sd.contact_next - sd.contact) > 0.5)
+                P = jnp.where(has_impact, P_imp,
+                              jnp.eye(XS, dtype=x.dtype))
+                return jnp.where(sd.model_switch > 0,
+                                 body_mask[:, None].astype(x.dtype) * P, P)
 
     # ---------------- costs ---------------------------------------
     def _foot_cost_terms(x, sd_or_kd, dt_scale):

@@ -29,12 +29,16 @@ class MHPCRuntime:
     def __init__(self, quad_ref: QuadReference, cfg: mp.MHPCConfig,
                  opts: SolverOptions, dtype=jnp.float64,
                  n_cmd_steps=8, segmented=None, max_resets=8,
-                 foot_handoff=False, endpoint=None):
+                 foot_handoff=False, endpoint=None,
+                 debug_intermtraj=False):
         """segmented: use the two-segment LQ fan-out (default: on whenever
         the plan has an SRB tail); max_resets: static cap for gather-based
         reset evaluation (None disables); foot_handoff: freeze solved WB
         foot XY into the SRB tail for feet in stance at the handoff
-        (MHPCFootStep.h:26-57 — opt-in, see apply_transition_foot_handoff).
+        (MHPCFootStep.h:26-57 — opt-in, see apply_transition_foot_handoff);
+        debug_intermtraj: publish solver_intermtraj_lcmt on the reference's
+        "intermediate_ddp_traj" channel after every AL outer iteration
+        (MultiPhaseDDP.h:95-107); requires `endpoint`.
         """
         self.endpoint = endpoint
         self.qr = quad_ref
@@ -47,10 +51,13 @@ class MHPCRuntime:
         model = self.model = mp.wbm.load_model()
         fns = (mp.make_mhpc_fns_segmented(cfg, model) if segmented
                else mp.make_mhpc_fns(cfg, model))
+        cb = self._intermtraj_callback if debug_intermtraj else None
         self.solve_init = jax.jit(make_solver(fns, opts,
-                                              max_resets=max_resets))
+                                              max_resets=max_resets,
+                                              iter_callback=cb))
         self.solve_rt = jax.jit(make_solver(fns, opts.runtime(),
-                                            max_resets=max_resets))
+                                            max_resets=max_resets,
+                                            iter_callback=cb))
         self.mpc_time = 0.0
         self.state = None
         self.plan_np = None
@@ -73,7 +80,18 @@ class MHPCRuntime:
 
     def _warm_start(self, plan_np, Xbar0, Ubar0):
         """Time-aligned carry-over of the previous solution (the reference
-        keeps shifted deques; here old knot times map onto new knots)."""
+        keeps shifted deques; here old knot times map onto new knots).
+
+        Vectorized: per model segment, one sort of the old knot times +
+        one searchsorted over the new ones — O(N log N) instead of the
+        former per-knot candidate scan (O(N^2) python, hostile at the
+        cascade500 horizon).  Semantics match the scan: a new knot takes
+        the LAST old active knot with the same model id whose time is
+        within 1e-6 (knot times sit on a 0.01/0.05 grid, so ties are
+        exact duplicates at phase boundaries and ordering by (t, index)
+        picks the same index the scan's cand[-1] did).  Unit-tested
+        identical to the reference scan in tests/test_mhpc_runtime.py.
+        """
         if self.state is None:
             return Xbar0, Ubar0
         dt_mpc = self.cfg.dt_mpc
@@ -86,14 +104,23 @@ class MHPCRuntime:
         oXb = np.asarray(self.state.traj.Xbar)
         oUb = np.asarray(self.state.traj.Ubar)
         Xb, Ub = Xbar0.copy(), Ubar0.copy()
-        for j in np.where(new_active)[0]:
-            cand = np.where(old_active
-                            & (np.abs(old_t - new_t[j]) < 1e-6)
-                            & (old_model == new_model[j]))[0]
-            if len(cand):
-                Xb[j] = oXb[cand[-1]]
-                if j < len(Ub) and cand[-1] < len(oUb):
-                    Ub[j] = oUb[cand[-1]]
+        for m in np.unique(new_model[new_active]):
+            oi = np.where(old_active & (old_model == m))[0]
+            if not len(oi):
+                continue
+            order = np.lexsort((oi, old_t[oi]))
+            oi_s = oi[order]
+            ot_s = old_t[oi][order]
+            nj = np.where(new_active & (new_model == m))[0]
+            hi = np.searchsorted(ot_s, new_t[nj] + 1e-6, side="right")
+            ok = hi > 0
+            hit = np.clip(hi - 1, 0, len(ot_s) - 1)
+            ok &= np.abs(ot_s[hit] - new_t[nj]) < 1e-6
+            src = oi_s[hit[ok]]
+            dst = nj[ok]
+            Xb[dst] = oXb[src]
+            um = (dst < len(Ub)) & (src < len(oUb))
+            Ub[dst[um]] = oUb[src[um]]
         return Xb, Ub
 
     def initialize(self, x0):
@@ -136,6 +163,20 @@ class MHPCRuntime:
         self.plan_np, self.meta = plan_np, meta
         self._publish_solver_info()
         return self.command_message()
+
+    def _intermtraj_callback(self, Xbar, Ubar, it):
+        """io_callback target: encode the current nominal trajectory as
+        solver_intermtraj_lcmt on "intermediate_ddp_traj"
+        (publish_trajectory, MultiPhaseDDP.h:95-107)."""
+        if self.endpoint is None:
+            return
+        X = np.asarray(Xbar, dtype=float)
+        U = np.asarray(Ubar, dtype=float)
+        msg = w.solver_intermtraj_lcmt(
+            tau_sz=X.shape[0], x_sz=X.shape[1], u_sz=U.shape[1])
+        msg.x_tau = X
+        msg.u_tau = np.concatenate([U, U[-1:]], axis=0)
+        self.endpoint.publish("intermediate_ddp_traj", msg)
 
     def _publish_solver_info(self):
         """solver_info_lcmt telemetry (MHPCLocomotion.cpp:74-79)."""

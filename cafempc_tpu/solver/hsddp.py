@@ -156,7 +156,7 @@ def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
                 parallel_linear_rollout=True, parallel_riccati=False,
                 parallel_line_search=True, fused_riccati=False,
                 fused_linroll=None, max_resets=None, iter_callback=None,
-                reg_floor=0.0, fused_forward=None):
+                reg_floor=0.0, fused_forward=None, fused_lq=None):
     """Build the jit-ready ``solve(plan, pen, x0, Xbar0, Ubar0)`` function.
 
     fns: a ProblemFns, or a SegmentedFns for cascaded plans with a static
@@ -184,6 +184,12 @@ def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
     problems/hkd_fused.make_hkd_fused_forward — one lane-batched Pallas
     kernel for the whole forward pass).  Requires the sequential line
     search and the all-shooting configuration.
+    fused_lq: optional problem-specific fused LQ-approximation path
+    ``f(plan, pen, tr) -> tr`` replacing the generic lq_approx (e.g.
+    problems/hkd_fused.make_hkd_fused_lq — one lane-batched Pallas kernel
+    emitting all per-knot linearizations).  Must populate the same
+    TrajState fields lq_approx does (A, B, lx, lu, lxx, luu, phix, phixx;
+    C/D/ly/lyy/lux untouched means they stay zero).
     reg_floor: minimum regularization for every backward sweep attempt.
     The reference starts each sweep at reg=0 (MultiPhaseDDP.cpp:136-165)
     and retries at reg_min_init on PSD failure; on the f32 TPU path the
@@ -630,10 +636,16 @@ def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
         lxx = tr.lxx + jnp.einsum("kji,kjl,klm->kim", tr.C, tr.lyy, tr.C)
         luu = tr.luu + jnp.einsum("kji,kjl,klm->kim", tr.D, tr.lyy, tr.D)
         lux = tr.lux + jnp.einsum("kji,kjl,klm->kim", tr.D, tr.lyy, tr.C)
-        w = ((sd.is_reset > 0) | (sd.active == 0)).astype(jnp.int32)
+        wb = (sd.is_reset > 0) | (sd.active == 0)
+        w = wb.astype(jnp.int32)
+        # merge the mutually-exclusive cost streams (transform steps read
+        # phix/phixx, dynamics steps lx/lxx) — one fewer xs*xs operand
+        # stream through the kernel, which is what fits xs=36 in VMEM
+        lx_m = jnp.where(wb[:, None], tr.phix[:-1], lx)
+        lxx_m = jnp.where(wb[:, None, None], tr.phixx[:-1], lxx)
         G_s, H_s, K, dU, Qu, Quu, Qux, ok_f, dv = sweep_op(
-            tr.A, tr.B, lx, lu, lxx, luu, lux, tr.phix, tr.phixx,
-            tr.Defect, w, jnp.asarray(reg, tr.Xbar.dtype))
+            tr.A, tr.B, lx_m, lu, lxx_m, luu, lux, tr.phix[-1],
+            tr.phixx[-1], tr.Defect, w, jnp.asarray(reg, tr.Xbar.dtype))
         G = jnp.concatenate([G_s, tr.phix[-1:]], axis=0)
         H = jnp.concatenate([H_s, tr.phixx[-1:]], axis=0)
         G = G.at[0].add(H[0] @ tr.Defect[0])
@@ -893,7 +905,8 @@ def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
         cost, maxp, maxt = cost_from_terms(plan, s.pen, s.cost_quad,
                                            s.con_g, s.con_h)
         feas = dyn_feas(plan, tr.Defect)
-        tr = lq_approx(plan, s.pen, tr)
+        tr = (fused_lq if fused_lq is not None else lq_approx)(
+            plan, s.pen, tr)
         tr, reg, ok, dV1, dV2, reg_it = backward_sweep_regularized(
             plan, tr, jnp.zeros((), tr.Xbar.dtype) + s.reg)
         if opts.MS:

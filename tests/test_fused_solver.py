@@ -85,3 +85,17 @@ def test_fused_sharded_matches_vmap(problem, rng):
                                rtol=1e-8, atol=1e-8)
     np.testing.assert_allclose(np.asarray(s_sh.cost),
                                np.asarray(s_ref.cost), rtol=1e-8)
+
+
+def test_vmap_batched_solve_default_path(problem, rng):
+    """Non-fused default path under plain vmap (folded from the former
+    test_parallel.py; the sharded variants above cover shard_map)."""
+    plan, pen, x0, Xb, Ub, _ = problem
+    B = 4
+    solve_b = make_batched_solver(hp.make_hkd_fns(), runtime_opts())
+    pen_b, x0_b, Xb_b, Ub_b = _batch_inputs(pen, x0, Xb, Ub, B, rng)
+    s = solve_b(plan, pen_b, x0_b, Xb_b, Ub_b)
+    assert s.traj.Xbar.shape[0] == B
+    assert bool(jnp.all(s.success))
+    # different initial states -> different solutions
+    assert float(jnp.abs(s.traj.Ubar[0] - s.traj.Ubar[1]).max()) > 0

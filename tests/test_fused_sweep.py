@@ -34,10 +34,13 @@ def test_fused_sweep_matches_recursion(rng):
     def lane(x):
         return jnp.asarray(np.repeat(np.asarray(x)[..., None], L, -1))
 
-    out = fused_backward_sweep(lane(A), lane(B), lane(lx), lane(lu),
-                               lane(lxx), lane(luu), lane(lux),
-                               lane(phix), lane(phixx), lane(defect),
-                               w, reg)
+    # merged cost streams: transform steps carry phix/phixx rows
+    lx_m = np.where(w[:, None] > 0, phix[:-1], lx)
+    lxx_m = np.where(w[:, None, None] > 0, phixx[:-1], lxx)
+    out = fused_backward_sweep(lane(A), lane(B), lane(lx_m), lane(lu),
+                               lane(lxx_m), lane(luu), lane(lux),
+                               lane(phix[-1]), lane(phixx[-1]),
+                               lane(defect), w, reg)
     G_o, H_o, K_o = [np.asarray(o)[..., 0] for o in out[:3]]
     dv_o = np.asarray(out[8])[:, 0]
 

@@ -21,14 +21,15 @@ from cafempc_tpu.solver.options import SolverOptions
 GAIT = "/root/reference/Reference/Data/bound/quad_reference.csv"
 
 
-def _make_runtime():
+def _make_runtime(endpoint=None):
     qr = QuadReference(load_quad_reference(GAIT))
     qr.initialize(0.4)
     cfg = mp.MHPCConfig(plan_dur_wb=0.1, plan_dur_srb=0.2,
                         n_steps_max=24, wb_block=16)
     opts = SolverOptions(max_AL_iter=2, max_DDP_iter=2,
                          max_AL_iter_runtime=1, max_DDP_iter_runtime=1)
-    return qr, MHPCRuntime(qr, cfg, opts, dtype=jnp.float64)
+    return qr, MHPCRuntime(qr, cfg, opts, dtype=jnp.float64,
+                           endpoint=endpoint, debug_intermtraj=True)
 
 
 def _state_msg(reset, mpctime, x):
@@ -49,22 +50,38 @@ def test_mhpc_serve_over_udpm():
     except OSError:
         pytest.skip("multicast sockets unavailable")
 
-    qr, rt = _make_runtime()
-    got, info = [], []
-    client_ep.subscribe("MHPC_COMMAND", w.MHPC_Command_lcmt,
-                        lambda ch, m: got.append(m))
-    client_ep.subscribe("DDP_Solver_Info", w.solver_info_lcmt,
-                        lambda ch, m: info.append(m))
+    qr, rt = _make_runtime(endpoint=server_ep)
+    got, info, interm = [], [], []
+
+    def dedup(buf):
+        """Multicast loopback can deliver a datagram once per joined
+        interface; keep only messages that differ from the last seen."""
+        def cb(ch, m):
+            if not buf or buf[-1].encode() != m.encode():
+                buf.append(m)
+        return cb
+
+    client_ep.subscribe("MHPC_COMMAND", w.MHPC_Command_lcmt, dedup(got))
+    client_ep.subscribe("DDP_Solver_Info", w.solver_info_lcmt, dedup(info))
+    client_ep.subscribe("intermediate_ddp_traj", w.solver_intermtraj_lcmt,
+                        dedup(interm))
 
     x = np.asarray(wb_state_ref_at(qr, 0.0), dtype=float)
+
+    def drain(cond, n=100):
+        """Pump the client socket until cond() (one datagram per handle —
+        a fragmented command tape alone is ~50 datagrams)."""
+        for _ in range(n):
+            while client_ep.handle(timeout=0.05):
+                pass
+            if cond():
+                return
+        raise AssertionError("wire messages not received")
 
     # initialize solve over the wire
     client_ep.publish("MHPC_DATA", _state_msg(True, 0.0, x))
     assert rt.serve(server_ep, max_msgs=1) == 1
-    for _ in range(50):
-        client_ep.handle(timeout=0.1)
-        if got and info:
-            break
+    drain(lambda: got and info)
     assert len(got) == 1
     cmd = got[0]
     assert cmd.N_mpcsteps > 0
@@ -77,6 +94,17 @@ def test_mhpc_serve_over_udpm():
     assert abs(cmd.pos[0][2] - x[2]) < 0.05
     # statusTimes populated from phase contact durations
     assert np.asarray(cmd.statusTimes).max() > 0.0
+    # intermediate-trajectory debug publishing (MultiPhaseDDP.h:95-107):
+    # one solver_intermtraj_lcmt per AL outer iteration, field-level
+    drain(lambda: interm)
+    it0 = interm[0]
+    NK = rt.plan_np.knot.t.shape[0]
+    assert it0.tau_sz == NK and it0.x_sz == 36 and it0.u_sz == 12
+    x_tau = np.asarray(it0.x_tau)
+    assert x_tau.shape == (NK, 36) and np.all(np.isfinite(x_tau))
+    assert np.asarray(it0.u_tau).shape == (NK, 12)
+    # the published nominal starts at the measured state
+    assert np.allclose(x_tau[0][0:3], x[0:3], atol=1e-5)
 
     # runtime update solve over the wire (reset_mpc = False), with a
     # dropped-message clock jump: mpctime advances by 2*dt_mpc
@@ -84,10 +112,7 @@ def test_mhpc_serve_over_udpm():
     x2[2] += 0.004
     client_ep.publish("MHPC_DATA", _state_msg(False, 0.04, x2))
     assert rt.serve(server_ep, max_msgs=1) == 1
-    for _ in range(50):
-        client_ep.handle(timeout=0.1)
-        if len(got) >= 2:
-            break
+    drain(lambda: len(got) >= 2)
     assert len(got) == 2
     assert got[1].N_mpcsteps > 0
     # MPC clock synced to the message time, not the nominal increment

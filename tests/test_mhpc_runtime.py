@@ -1,8 +1,9 @@
 """Cascaded MHPC receding-horizon runtime test (MHPCLocomotion analogue):
-initialize + one MPC update, command-tape message integrity."""
-import pytest as _pytest
+initialize + one MPC update, command-tape message integrity; warm-start
+alignment equivalence (vectorized vs reference scan)."""
+import types
 
-pytestmark = _pytest.mark.slow  # multi-update receding-horizon WB solves
+import pytest as _pytest
 
 import dataclasses
 
@@ -20,6 +21,64 @@ from cafempc_tpu.solver.options import load_solver_options
 REF = "/root/reference"
 
 
+def _warm_start_scan(rt, plan_np, Xbar0, Ubar0):
+    """The former O(N^2) per-knot candidate scan, kept verbatim as the
+    semantics oracle for the vectorized _warm_start."""
+    dt_mpc = rt.cfg.dt_mpc
+    old_t = np.asarray(rt.plan_np.knot.t) + (rt.mpc_time - dt_mpc)
+    old_active = np.asarray(rt.plan_np.knot.active) > 0
+    old_model = np.asarray(rt.plan_np.knot.model_id)
+    new_t = np.asarray(plan_np.knot.t) + rt.mpc_time
+    new_active = np.asarray(plan_np.knot.active) > 0
+    new_model = np.asarray(plan_np.knot.model_id)
+    oXb = np.asarray(rt.state.traj.Xbar)
+    oUb = np.asarray(rt.state.traj.Ubar)
+    Xb, Ub = Xbar0.copy(), Ubar0.copy()
+    for j in np.where(new_active)[0]:
+        cand = np.where(old_active
+                        & (np.abs(old_t - new_t[j]) < 1e-6)
+                        & (old_model == new_model[j]))[0]
+        if len(cand):
+            Xb[j] = oXb[cand[-1]]
+            if j < len(Ub) and cand[-1] < len(oUb):
+                Ub[j] = oUb[cand[-1]]
+    return Xb, Ub
+
+
+def test_warm_start_vectorized_matches_scan():
+    """The searchsorted warm-start alignment produces the IDENTICAL
+    (Xb, Ub) mapping as the former per-knot scan over several receding
+    steps of the real cascaded plan (no solves involved)."""
+    ref = load_quad_reference(
+        f"{REF}/Reference/Data/bound/quad_reference.csv")
+    qr = QuadReference(ref)
+    qr.initialize(0.75)
+    cfg = mp.load_mhpc_config(f"{REF}/MHPC/settings/mhpc_config.info")
+    opts = load_solver_options(f"{REF}/MHPC/settings/ddp_setting.info")
+    rt = MHPCRuntime(qr, cfg, opts)
+    rng = np.random.default_rng(7)
+
+    plan_np, _, Xbar0, Ubar0, _ = rt._build()
+    rt.plan_np = plan_np
+    for step in range(6):
+        # fake a previous solution with distinguishable per-knot rows
+        rt.state = types.SimpleNamespace(traj=types.SimpleNamespace(
+            Xbar=rng.normal(size=(plan_np.knot.t.shape[0], 36)),
+            Ubar=rng.normal(size=(plan_np.step.t.shape[0], 12))))
+        rt.qr.step(cfg.dt_mpc)
+        rt.mpc_time += cfg.dt_mpc
+        plan2, _, Xb0, Ub0, _ = rt._build()
+        Xb_v, Ub_v = rt._warm_start(plan2, Xb0, Ub0)
+        Xb_s, Ub_s = _warm_start_scan(rt, plan2, Xb0, Ub0)
+        np.testing.assert_array_equal(Xb_v, Xb_s)
+        np.testing.assert_array_equal(Ub_v, Ub_s)
+        # the mapping is non-trivial (some knots actually carried over)
+        assert not np.array_equal(Xb_v, Xb0)
+        rt.plan_np = plan2
+        plan_np = plan2
+
+
+@_pytest.mark.slow  # multi-update receding-horizon WB solves
 def test_mhpc_runtime_init_and_update():
     ref = load_quad_reference(
         f"{REF}/Reference/Data/bound/quad_reference.csv")

@@ -143,3 +143,39 @@ def test_mass_matrix_properties(model, rng):
     assert w.min() > 0
     # top-left 3x3 block is total mass * I (floating-base translation)
     assert np.allclose(M[:3, :3], 8.252 * np.eye(3), atol=1e-9)
+
+
+def test_analytic_kkt_partials_match_jacfwd(model, rng):
+    """Factored-KKT analytic derivative assembly
+    (rbda.contact_kkt_dynamics_partials; reference WBM.cpp:459-505) ==
+    jacfwd through the dynamics, over several contact sets."""
+    for contact in ([1, 1, 1, 1], [1, 0, 1, 0], [0, 0, 0, 0]):
+        c = jnp.asarray(contact, jnp.float64)
+        x = jnp.asarray(np.concatenate([
+            [0.0, 0.0, 0.26, 0.03, -0.05, 0.02],
+            np.array([0.0, -0.8, 1.6] * 4) + rng.normal(0, 0.05, 12),
+            rng.normal(0, 0.3, 18)]))
+        u = jnp.asarray(rng.normal(0, 3.0, 12))
+        dt = 0.01
+        A0, B0, C0, D0 = wbm.dynamics_partials(model, x, u, dt, c, 10.0)
+        A1, B1, C1, D1 = wbm.dynamics_partials_analytic(
+            model, x, u, dt, c, 10.0)
+        for a, b, nm in ((A0, A1, "A"), (B0, B1, "B"), (C0, C1, "C"),
+                         (D0, D1, "D")):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-8, atol=1e-10, err_msg=nm)
+
+
+def test_analytic_impact_partial_matches_jacfwd(model, rng):
+    for cur, nxt in (([0, 1, 0, 1], [1, 1, 1, 1]),
+                     ([1, 1, 1, 1], [1, 1, 1, 1])):
+        cc = jnp.asarray(cur, jnp.float64)
+        cn = jnp.asarray(nxt, jnp.float64)
+        x = jnp.asarray(np.concatenate([
+            [0.0, 0.0, 0.26, 0.03, -0.05, 0.02],
+            np.array([0.0, -0.8, 1.6] * 4) + rng.normal(0, 0.05, 12),
+            rng.normal(0, 0.3, 18)]))
+        P0 = wbm.impact_partial(model, x, cc, cn)
+        P1 = wbm.impact_partial_analytic(model, x, cc, cn)
+        np.testing.assert_allclose(np.asarray(P1), np.asarray(P0),
+                                   rtol=1e-8, atol=1e-10)

@@ -1,16 +1,29 @@
 #!/usr/bin/env python3
 """Batched scenario sweep (BASELINE.json config 5): thousands of parallel
-HKD-MPC solves across gaits x initial-state perturbations x push
-disturbances, on-device via vmap (+ shard_map when multiple devices are
-visible).
+MHPC cascaded solves across gaits x initial-state perturbations x push
+disturbances on BOTH robots (mini-cheetah + arcdog), on-device via vmap
+(+ shard_map when multiple devices are visible).
 
-Usage:  python tools/scenario_sweep.py [--total 4096] [--chunk 256]
-Prints per-gait success statistics and aggregate throughput.
+Mini-cheetah gaits come from the reference CSV library
+(Reference/Data/*); arcdog gaits are generated in-repo
+(cafempc_tpu/reference/generator.py — the gen_regular_arcdog.py
+analogue), so the second robot goes through real solves, not just model
+tests.
+
+Usage:
+  python tools/scenario_sweep.py [--total 4096] [--chunk 256]
+                                 [--config mhpc|hkd] [--out SWEEP.json]
+
+Writes a JSON artifact (default SWEEP_r03.json at the repo root) with
+per-(robot, gait) success rates, cost percentiles, and throughput —
+evidence that persists between sessions (VERDICT r2 weak #4).
 """
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import argparse
+import dataclasses
+import json
 import os
 import time
 
@@ -29,24 +42,64 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
-from cafempc_tpu.models import hkd
+from cafempc_tpu.models import hkd, wbm
 from cafempc_tpu.problems import hkd_problem as hp
+from cafempc_tpu.problems import mhpc_problem as mp
 from cafempc_tpu.reference.quad_reference import (QuadReference,
-                                                  load_quad_reference)
+                                                  load_quad_reference,
+                                                  wb_state_ref_at)
 from cafempc_tpu.solver.options import load_solver_options
 from cafempc_tpu.solver.plan import host_plan_to_device
 from cafempc_tpu.parallel.mesh import (make_batched_solver, replicate,
                                        scenario_mesh, shard_batch)
 
 REF_DATA = "/root/reference/Reference/Data"
-GAITS = ["bound", "pace", "flypace"]
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# (robot, gait) cases; mini-cheetah gaits from the CSV library, arcdog
+# gaits from the in-repo generator (BASELINE config 5: arcdog +
+# mini-cheetah, gaits x initial states x pushes)
+MC_GAITS = ["bound", "pace", "flytrot", "pronk"]
+ARCDOG_GAITS = ["trot", "pace"]
+HKD_GAITS = ["bound", "pace", "flypace"]
 
 
-def build_gait(gait, plan_dur=1.0, n_steps_max=112, dtype=jnp.float32):
+def _mc_quad_ref(gait, plan_dur, reorder=False):
     ref = load_quad_reference(f"{REF_DATA}/{gait}/quad_reference.csv",
-                              reorder=True)
+                              reorder=reorder)
     qr = QuadReference(ref)
     qr.initialize(plan_dur)
+    return qr
+
+
+def _arcdog_quad_ref(gait, plan_dur, model):
+    from cafempc_tpu.reference.generator import generate_reference
+    d = generate_reference(gait_name=gait, duration=2.0, vx=0.5,
+                           z_des=0.36, swing_height=0.12,
+                           transition_time=0.6, model=model)
+    qr = QuadReference(d)
+    qr.initialize(plan_dur)
+    return qr
+
+
+def build_mhpc_case(qr, model, dtype):
+    """Cascaded MHPC plan at the production horizon (25 WB + SRB tail)."""
+    cfg = mp.load_mhpc_config(
+        "/root/reference/MHPC/settings/mhpc_config.info")
+    cfg = mp.load_cost_weights(
+        "/root/reference/MHPC/settings/cost_weights_regular.JSON", cfg)
+    cfg = mp.load_constraint_params(
+        "/root/reference/MHPC/settings/constraint_params_regular.info", cfg)
+    plan_np, pen_np, Xbar0, Ubar0, meta = mp.build_mhpc_plan(qr, cfg)
+    plan = host_plan_to_device(plan_np, dtype=dtype)
+    pen = jax.tree.map(lambda a: jnp.asarray(np.asarray(a), dtype), pen_np)
+    x0 = np.asarray(wb_state_ref_at(qr, 0.0))
+    fns = mp.make_mhpc_fns_segmented(cfg, model=model)
+    return fns, plan, pen, x0, np.asarray(Xbar0), np.asarray(Ubar0)
+
+
+def build_hkd_case(gait, dtype, plan_dur=1.0, n_steps_max=112):
+    qr = _mc_quad_ref(gait, plan_dur, reorder=True)
     cfg = hp.HKDConfig(plan_duration=plan_dur, n_steps_max=n_steps_max)
     plan_np, pen_np, Xbar0, Ubar0, meta = hp.build_hkd_plan(qr, cfg)
     plan = host_plan_to_device(plan_np, dtype=dtype)
@@ -58,77 +111,119 @@ def build_gait(gait, plan_dur=1.0, n_steps_max=112, dtype=jnp.float32):
         jnp.asarray(body[0:3], dtype), jnp.asarray(body[3:6], dtype),
         jnp.asarray(qJ, dtype), jnp.asarray(meta["phases"][0][3], dtype))
     x0 = np.concatenate([body, np.asarray(qd)])
-    return plan, pen, x0, np.asarray(Xbar0), np.asarray(Ubar0)
+    return (hp.make_hkd_fns(), plan, pen, x0, np.asarray(Xbar0),
+            np.asarray(Ubar0))
+
+
+def run_case(solve_b, mesh, plan, pen, x0, Xb, Ub, n_total, chunk, rng,
+             dtype, push_sigma=0.25, noise_sigma=0.02):
+    plan_in = replicate(plan, mesh) if mesh is not None else plan
+    n_ok, done, t_g, timed = 0, 0, 0.0, 0
+    costs, feas = [], []
+    while done < n_total:
+        B = max(min(chunk, n_total - done), 1)
+        # scenario variation: initial-state noise + a velocity-impulse
+        # push (the reference's hard_push.gif disturbance scenario)
+        x0_b = np.tile(x0, (B, 1))
+        x0_b += rng.normal(0, noise_sigma, x0_b.shape)
+        if x0.shape[-1] == 36:            # WB state: vWorld dims 18:21
+            x0_b[:, 18:21] += rng.normal(0, push_sigma, (B, 3))
+        else:                             # HKD state: vWorld dims 9:12
+            x0_b[:, 9:12] += rng.normal(0, push_sigma, (B, 3))
+        pen_b = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (B,) + a.shape), pen)
+        Xb_b = jnp.broadcast_to(jnp.asarray(Xb, dtype), (B,) + Xb.shape)
+        Ub_b = jnp.broadcast_to(jnp.asarray(Ub, dtype), (B,) + Ub.shape)
+        batch = (pen_b, jnp.asarray(x0_b, dtype), Xb_b, Ub_b)
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
+        t0 = time.perf_counter()
+        s = solve_b(plan_in, *batch)
+        jax.block_until_ready(s)
+        dt = time.perf_counter() - t0
+        if done > 0:                      # skip the compile chunk
+            t_g += dt
+            timed += B
+        n_ok += int(jnp.sum(s.success))
+        costs.append(np.asarray(s.cost, dtype=float))
+        feas.append(np.asarray(s.feas, dtype=float))
+        done += B
+    cost_all = np.concatenate(costs)
+    feas_all = np.concatenate(feas)
+    return dict(
+        n=done, n_success=n_ok, success_rate=round(n_ok / done, 4),
+        cost_p50=round(float(np.median(cost_all)), 3),
+        cost_p95=round(float(np.percentile(cost_all, 95)), 3),
+        dyn_feas_p50=round(float(np.median(feas_all)), 5),
+        solves_per_s=round(timed / t_g, 1) if t_g > 0 else None)
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--total", type=int, default=4096)
     ap.add_argument("--chunk", type=int, default=256)
+    ap.add_argument("--config", choices=["mhpc", "hkd"], default="mhpc")
+    ap.add_argument("--out", default=os.path.join(REPO, "SWEEP_r03.json"))
     args = ap.parse_args()
     dtype = jnp.float32
 
-    import dataclasses
-    opts = load_solver_options(
-        "/root/reference/HKDMPC/settings/ddp_setting.info")
-    opts = dataclasses.replace(opts, max_AL_iter=2, max_DDP_iter=1)
-
     n_dev = len(jax.devices())
     mesh = scenario_mesh() if n_dev > 1 else None
-    solve_b = make_batched_solver(hp.make_hkd_fns(), opts, mesh=mesh,
-                                  trim_output=True)
-
     rng = np.random.default_rng(0)
-    per_gait = args.total // len(GAITS)
-    total_done = 0
-    t_all = 0.0
-    print(f"devices: {n_dev}, total scenarios: {per_gait * len(GAITS)}")
-    for gait in GAITS:
-        plan, pen, x0, Xb, Ub = build_gait(gait, dtype=dtype)
-        if mesh is not None:
-            plan_in = replicate(plan, mesh)
-        else:
-            plan_in = plan
-        n_ok = 0
-        costs = []
-        done = 0
-        t_g = 0.0
-        while done < per_gait:
-            B = min(args.chunk, per_gait - done)
-            B = max(B, 1)
-            # scenario variation: initial-state noise + a lateral push
-            # (velocity impulse), the reference's hard_push.gif scenario
-            x0_b = np.tile(x0, (B, 1))
-            x0_b[:, 0:12] += rng.normal(0, 0.02, (B, 12))
-            x0_b[:, 9:12] += rng.normal(0, 0.25, (B, 3))   # push impulse
-            pen_b = jax.tree.map(
-                lambda a: jnp.broadcast_to(a, (B,) + a.shape), pen)
-            Xb_b = jnp.broadcast_to(jnp.asarray(Xb, dtype),
-                                    (B,) + Xb.shape)
-            Ub_b = jnp.broadcast_to(jnp.asarray(Ub, dtype),
-                                    (B,) + Ub.shape)
-            batch = (pen_b, jnp.asarray(x0_b, dtype), Xb_b, Ub_b)
-            if mesh is not None:
-                batch = shard_batch(batch, mesh)
-            t0 = time.perf_counter()
-            s = solve_b(plan_in, *batch)
-            jax.block_until_ready(s)
-            dt = time.perf_counter() - t0
-            if done > 0:      # skip compile iteration in timing
-                t_g += dt
-            n_ok += int(jnp.sum(s.success))
-            costs.append(np.asarray(s.cost))
-            done += B
-        cost_all = np.concatenate(costs)
-        rate = (done - args.chunk) / t_g if t_g > 0 else float("nan")
-        print(f"{gait:10s} ok {n_ok}/{done}  cost p50 "
-              f"{np.median(cost_all):10.2f}  p95 "
-              f"{np.percentile(cost_all, 95):10.2f}  "
-              f"{rate:8.1f} solves/s")
-        total_done += done
-        t_all += t_g
-    print(f"TOTAL {total_done} scenarios, steady-state "
-          f"{(total_done - len(GAITS) * args.chunk) / t_all:.1f} solves/s")
+
+    result = dict(config=args.config, devices=n_dev,
+                  total_requested=args.total, chunk=args.chunk, cases={})
+
+    if args.config == "hkd":
+        opts = load_solver_options(
+            "/root/reference/HKDMPC/settings/ddp_setting.info")
+        opts = dataclasses.replace(opts, max_AL_iter=2, max_DDP_iter=1)
+        solve_b = make_batched_solver(hp.make_hkd_fns(), opts, mesh=mesh,
+                                      trim_output=True)
+        per = args.total // len(HKD_GAITS)
+        for gait in HKD_GAITS:
+            fns, plan, pen, x0, Xb, Ub = build_hkd_case(gait, dtype)
+            r = run_case(solve_b, mesh, plan, pen, x0, Xb, Ub, per,
+                         args.chunk, rng, dtype)
+            result["cases"][f"mini_cheetah/{gait}"] = r
+            print(f"mini_cheetah/{gait:10s} {r}")
+    else:
+        opts = load_solver_options(
+            "/root/reference/MHPC/settings/ddp_setting.info")
+        # runtime iteration caps (MHPCLocomotion.cpp:86-87)
+        opts = dataclasses.replace(opts, max_AL_iter=4, max_DDP_iter=1)
+        cases = [("mini_cheetah", g) for g in MC_GAITS] \
+            + [("arcdog", g) for g in ARCDOG_GAITS]
+        per = args.total // len(cases)
+        solvers = {}                      # one compiled solver per robot
+        models = {"mini_cheetah": wbm.load_model(),
+                  "arcdog": wbm.load_model(wbm.ARCDOG_URDF)}
+        for robot, gait in cases:
+            model = models[robot]
+            if robot == "arcdog":
+                qr = _arcdog_quad_ref(gait, 0.75, model)
+            else:
+                qr = _mc_quad_ref(gait, 0.75)
+            fns, plan, pen, x0, Xb, Ub = build_mhpc_case(qr, model, dtype)
+            if robot not in solvers:
+                solvers[robot] = make_batched_solver(
+                    fns, opts, mesh=mesh, trim_output=True, max_resets=16)
+            r = run_case(solvers[robot], mesh, plan, pen, x0, Xb, Ub,
+                         per, args.chunk, rng, dtype)
+            result["cases"][f"{robot}/{gait}"] = r
+            print(f"{robot}/{gait:10s} {r}")
+
+    done = sum(c["n"] for c in result["cases"].values())
+    rates = [c["solves_per_s"] for c in result["cases"].values()
+             if c["solves_per_s"]]
+    result["total_done"] = done
+    result["aggregate_solves_per_s"] = round(float(np.mean(rates)), 1) \
+        if rates else None
+    result["overall_success_rate"] = round(
+        sum(c["n_success"] for c in result["cases"].values()) / done, 4)
+    with open(args.out, "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(f"TOTAL {done} scenarios -> {args.out}")
 
 
 if __name__ == "__main__":
