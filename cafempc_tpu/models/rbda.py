@@ -127,18 +127,51 @@ def point_jacobian(model, R, p, aw, dof, point_w, dtype):
     return jnp.stack(cols_w, axis=1), jnp.stack(cols_v, axis=1)
 
 
+def _rev_mask(model):
+    return np.array([1.0 if t == REVOLUTE else 0.0 for t in model.jtype])
+
+
+def _point_jacobians_batch(model, p, aw, points_w, dofs):
+    """Linear world Jacobians of several points at once, vectorized over
+    the dof axis (no per-dof python loop): points_w [np,3] attached to
+    bodies `dofs` (python ints).  Returns Jv [np, 3, nd]."""
+    dtype = points_w.dtype
+    anc = jnp.asarray(model.ancestors[np.asarray(dofs)], dtype)  # [np, nd]
+    rev = jnp.asarray(_rev_mask(model), dtype)                   # [nd]
+    d = points_w[:, None, :] - p[None, :, :]                     # [np,nd,3]
+    cr = jnp.cross(jnp.broadcast_to(aw[None], d.shape), d)       # [np,nd,3]
+    cols = rev[None, :, None] * cr \
+        + (1.0 - rev)[None, :, None] * aw[None]                  # [np,nd,3]
+    return jnp.swapaxes(cols * anc[:, :, None], 1, 2)            # [np,3,nd]
+
+
+def _body_jacobians(model, R, p, aw):
+    """CoM Jacobians for every massy body at once (tensorized; replaces
+    the per-body point_jacobian loop whose tiny ops splinter the XLA
+    graph under the B x N double-vmap).  Returns (mb_idx, com_w [nb,3],
+    Jw [nb,3,nd], Jv [nb,3,nd], Iw [nb,3,3])."""
+    dtype = p.dtype
+    mb = [b for b in range(model.nd) if model.has_mass[b]]
+    mb_idx = np.asarray(mb)
+    Rb = R[mb_idx]
+    com_w = p[mb_idx] + jnp.einsum("bij,bj->bi", Rb, model.com[mb_idx])
+    Jv = _point_jacobians_batch(model, p, aw, com_w, mb)
+    anc = jnp.asarray(model.ancestors[mb_idx], dtype)            # [nb, nd]
+    rev = jnp.asarray(_rev_mask(model), dtype)
+    Jw = jnp.swapaxes((rev[None, :, None] * aw[None])
+                      * anc[:, :, None], 1, 2)                   # [nb,3,nd]
+    Iw = jnp.einsum("bij,bjk,blk->bil", Rb, model.inertia[mb_idx], Rb)
+    return mb_idx, com_w, Jw, Jv, Iw
+
+
 def mass_matrix(model: RBDAModel, q):
-    """M(q) = sum_b [ Jw^T (R I_c R^T) Jw + m Jv_com^T Jv_com ]."""
+    """M(q) = sum_b [ Jw^T (R I_c R^T) Jw + m Jv_com^T Jv_com ],
+    assembled as three batched einsums over all massy bodies at once."""
     R, p, aw = fk(model, q)
-    dtype = q.dtype
-    M = jnp.zeros((model.nd, model.nd), dtype)
-    for b in range(model.nd):
-        if not model.has_mass[b]:
-            continue
-        com_w = p[b] + R[b] @ model.com[b]
-        Jw, Jv = point_jacobian(model, R, p, aw, b, com_w, dtype)
-        Iw = R[b] @ model.inertia[b] @ R[b].T
-        M = M + Jw.T @ Iw @ Jw + model.mass[b] * (Jv.T @ Jv)
+    mb_idx, com_w, Jw, Jv, Iw = _body_jacobians(model, R, p, aw)
+    m = model.mass[mb_idx]
+    M = jnp.einsum("bin,bij,bjm->nm", Jw, Iw, Jw) \
+        + jnp.einsum("b,bin,bim->nm", m, Jv, Jv)
     return M
 
 
@@ -149,15 +182,9 @@ def gravity_force(model: RBDAModel, q):
     """g(q): generalized gravity (enters M qdd + C v + g = tau)."""
     R, p, aw = fk(model, q)
     dtype = q.dtype
+    mb_idx, com_w, Jw, Jv, Iw = _body_jacobians(model, R, p, aw)
     g_vec = jnp.array([0.0, 0.0, -GRAVITY], dtype)
-    g = jnp.zeros(model.nd, dtype)
-    for b in range(model.nd):
-        if not model.has_mass[b]:
-            continue
-        com_w = p[b] + R[b] @ model.com[b]
-        _, Jv = point_jacobian(model, R, p, aw, b, com_w, dtype)
-        g = g - model.mass[b] * (Jv.T @ g_vec)
-    return g
+    return -jnp.einsum("b,bin,i->n", model.mass[mb_idx], Jv, g_vec)
 
 
 def bias_force(model: RBDAModel, q, v):
@@ -181,13 +208,10 @@ def foot_jacobians(model: RBDAModel, q):
     """Linear world-aligned Jacobians of the end-effector frames.
     [nf, 3, nd] — the reference's get_footJacobians (WBM.cpp:349-364)."""
     R, p, aw = fk(model, q)
-    dtype = q.dtype
-    out = []
-    for f, dof in enumerate(model.frame_dof):
-        pt = p[dof] + R[dof] @ model.frame_p[f]
-        _, Jv = point_jacobian(model, R, p, aw, dof, pt, dtype)
-        out.append(Jv)
-    return jnp.stack(out)
+    dofs = list(model.frame_dof)
+    fidx = np.asarray(dofs)
+    pts = p[fidx] + jnp.einsum("fij,fj->fi", R[fidx], model.frame_p)
+    return _point_jacobians_batch(model, p, aw, pts, dofs)
 
 
 def foot_velocities(model: RBDAModel, q, v):
@@ -204,6 +228,27 @@ def foot_vel_dq(model: RBDAModel, q, v):
 def foot_drift(model: RBDAModel, q, v):
     """Classical foot acceleration with qdd = 0:  Jdot(q, v) v.  [nf, 3]."""
     return jax.jvp(lambda q_: foot_velocities(model, q_, v), (q,), (v,))[1]
+
+
+def _kkt_schur_solve(M, Jm, Sdiag, r1, r2):
+    """Solve the contact KKT system
+
+        [ M    Jm^T ] [ a ]   [ r1 ]
+        [ Jm   -S   ] [ b ] = [ r2 ]
+
+    via the Schur complement on the SPD mass matrix — two Cholesky
+    factorizations (nd and 12) instead of an LU of the (nd+12) saddle
+    system; on TPU the batched LU lowers to a long sequential column
+    loop (round-3 cascade trace: while-dominated).  Supports multi-RHS
+    r1 [nd, k], r2 [12, k].  Returns (a, b)."""
+    Lm = jnp.linalg.cholesky(M)
+    MinvJT = jax.scipy.linalg.cho_solve((Lm, True), Jm.T)   # [nd, 12]
+    Minv_r1 = jax.scipy.linalg.cho_solve((Lm, True), r1)
+    A_s = Jm @ MinvJT + jnp.diag(Sdiag)                     # [12, 12] SPD
+    Ls = jnp.linalg.cholesky(A_s)
+    b = jax.scipy.linalg.cho_solve((Ls, True), Jm @ Minv_r1 - r2)
+    a = Minv_r1 - MinvJT @ b
+    return a, b
 
 
 def contact_kkt_dynamics(model: RBDAModel, q, v, tau, contact, bg_alpha,
@@ -228,12 +273,9 @@ def contact_kkt_dynamics(model: RBDAModel, q, v, tau, contact, bg_alpha,
     vf = (J @ v).reshape(4, 3)
     gamma = foot_drift(model, q, v).reshape(4, 3) + 2.0 * bg_alpha * vf
     gamma_m = gamma.reshape(12) * cmask3
-    S = jnp.diag((1.0 - cmask3) + damping * cmask3)
-    K = jnp.block([[M, Jm.T], [Jm, -S]])
-    rhs = jnp.concatenate([tau - h, -gamma_m])
-    z = jnp.linalg.solve(K, rhs)
-    qdd = z[:nd]
-    lam = -z[nd:] * cmask3
+    Sdiag = (1.0 - cmask3) + damping * cmask3
+    qdd, b = _kkt_schur_solve(M, Jm, Sdiag, tau - h, -gamma_m)
+    lam = -b * cmask3
     return qdd, lam
 
 
@@ -269,12 +311,9 @@ def contact_kkt_dynamics_partials(model: RBDAModel, q, v, tau, contact,
     vf = J @ v
     gamma_m = (foot_drift(model, q, v).reshape(12)
                + 2.0 * bg_alpha * vf) * cmask3
-    S = jnp.diag((1.0 - cmask3) + damping * cmask3)
-    K = jnp.block([[M, Jm.T], [Jm, -S]])
-    rhs = jnp.concatenate([tau - h, -gamma_m])
-    z = jnp.linalg.solve(K, rhs)
-    qdd = z[:nd]
-    z_l = z[nd:]                    # = -lam_full
+    Sdiag = (1.0 - cmask3) + damping * cmask3
+    qdd, z_l = _kkt_schur_solve(M, Jm, Sdiag, tau - h, -gamma_m)
+    # z_l = -lam_full
 
     # --- q columns: directional derivatives of the KKT residual --------
     def resid_q(q_):
@@ -300,12 +339,12 @@ def contact_kkt_dynamics_partials(model: RBDAModel, q, v, tau, contact,
     dG_dv = jax.jacfwd(resid_v)(v)                       # [nd+12, nd]
 
     # --- one multi-RHS application of the factored KKT matrix -----------
-    E_tau = jnp.concatenate([jnp.eye(nd, dtype=dtype),
-                             jnp.zeros((12, nd), dtype)], axis=0)
-    RHS = jnp.concatenate([-dG_dq, -dG_dv, E_tau], axis=1)
-    DZ = jnp.linalg.solve(K, RHS)
-    dqdd = DZ[:nd]
-    dlam = -DZ[nd:] * cmask3[:, None]
+    R1 = jnp.concatenate([-dG_dq[:nd], -dG_dv[:nd],
+                          jnp.eye(nd, dtype=dtype)], axis=1)
+    R2 = jnp.concatenate([-dG_dq[nd:], -dG_dv[nd:],
+                          jnp.zeros((12, nd), dtype)], axis=1)
+    dqdd, db = _kkt_schur_solve(M, Jm, Sdiag, R1, R2)
+    dlam = -db * cmask3[:, None]
     return (dqdd[:, :nd], dqdd[:, nd:2 * nd], dqdd[:, 2 * nd:],
             dlam[:, :nd], dlam[:, nd:2 * nd], dlam[:, 2 * nd:])
 
@@ -321,12 +360,9 @@ def impulse_dynamics_partials(model: RBDAModel, q, v, contact,
     M = mass_matrix(model, q)
     J = foot_jacobians(model, q).reshape(12, nd)
     Jm = J * cmask3[:, None]
-    S = jnp.diag((1.0 - cmask3) + damping * cmask3)
-    K = jnp.block([[M, Jm.T], [Jm, -S]])
-    rhs = jnp.concatenate([M @ v, jnp.zeros(12, dtype)])
-    z = jnp.linalg.solve(K, rhs)
-    v_post = z[:nd]
-    z_l = z[nd:]
+    Sdiag = (1.0 - cmask3) + damping * cmask3
+    v_post, z_l = _kkt_schur_solve(M, Jm, Sdiag, M @ v,
+                                   jnp.zeros(12, dtype))
 
     def resid_q(q_):
         M_ = mass_matrix(model, q_)
@@ -337,10 +373,11 @@ def impulse_dynamics_partials(model: RBDAModel, q, v, contact,
         return jnp.concatenate([top, bot])
 
     dG_dq = jax.jacfwd(resid_q)(q)
-    E_v = jnp.concatenate([M, jnp.zeros((12, nd), dtype)], axis=0)
-    RHS = jnp.concatenate([-dG_dq, E_v], axis=1)
-    DZ = jnp.linalg.solve(K, RHS)
-    return DZ[:nd, :nd], DZ[:nd, nd:]
+    R1 = jnp.concatenate([-dG_dq[:nd], M], axis=1)
+    R2 = jnp.concatenate([-dG_dq[nd:], jnp.zeros((12, nd), dtype)],
+                         axis=1)
+    dvp, _ = _kkt_schur_solve(M, Jm, Sdiag, R1, R2)
+    return dvp[:, :nd], dvp[:, nd:]
 
 
 def impulse_dynamics(model: RBDAModel, q, v, contact, damping=1e-12):
@@ -353,40 +390,28 @@ def impulse_dynamics(model: RBDAModel, q, v, contact, damping=1e-12):
     M = mass_matrix(model, q)
     J = foot_jacobians(model, q).reshape(12, nd)
     Jm = J * cmask3[:, None]
-    S = jnp.diag((1.0 - cmask3) + damping * cmask3)
-    K = jnp.block([[M, Jm.T], [Jm, -S]])
-    rhs = jnp.concatenate([M @ v, jnp.zeros(12, dtype)])
-    z = jnp.linalg.solve(K, rhs)
-    v_post = z[:nd]
-    imp = -z[nd:] * cmask3
+    Sdiag = (1.0 - cmask3) + damping * cmask3
+    v_post, b = _kkt_schur_solve(M, Jm, Sdiag, M @ v, jnp.zeros(12, dtype))
+    imp = -b * cmask3
     return v_post, imp
 
 
 def com_position(model: RBDAModel, q):
     R, p, _ = fk(model, q)
-    tot = jnp.sum(model.mass)
-    com = jnp.zeros(3, q.dtype)
-    for b in range(model.nd):
-        if not model.has_mass[b]:
-            continue
-        com = com + model.mass[b] * (p[b] + R[b] @ model.com[b])
-    return com / tot
+    mb_idx, com_w, _, _, _ = _body_jacobians(model, R, p,
+                                             jnp.zeros_like(p))
+    m = model.mass[mb_idx]
+    return jnp.einsum("b,bi->i", m, com_w) / jnp.sum(m)
 
 
 def centroidal_angular_momentum(model: RBDAModel, q, v):
     """k_G: angular momentum about the CoM (reference
     evalute_centroidal_momemtum, WBM.cpp:142-150)."""
     R, p, aw = fk(model, q)
-    dtype = q.dtype
-    com = com_position(model, q)
-    k = jnp.zeros(3, dtype)
-    for b in range(model.nd):
-        if not model.has_mass[b]:
-            continue
-        com_b = p[b] + R[b] @ model.com[b]
-        Jw, Jv = point_jacobian(model, R, p, aw, b, com_b, dtype)
-        w_b = Jw @ v
-        v_b = Jv @ v
-        Iw = R[b] @ model.inertia[b] @ R[b].T
-        k = k + Iw @ w_b + model.mass[b] * jnp.cross(com_b - com, v_b)
-    return k
+    mb_idx, com_w, Jw, Jv, Iw = _body_jacobians(model, R, p, aw)
+    m = model.mass[mb_idx]
+    com = jnp.einsum("b,bi->i", m, com_w) / jnp.sum(m)
+    w_b = jnp.einsum("bin,n->bi", Jw, v)
+    v_b = jnp.einsum("bin,n->bi", Jv, v)
+    return jnp.einsum("bij,bj->i", Iw, w_b) \
+        + jnp.einsum("b,bi->i", m, jnp.cross(com_w - com[None, :], v_b))

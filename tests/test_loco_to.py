@@ -47,14 +47,25 @@ def test_loco_plan_constraint_set():
 @pytest.mark.slow
 def test_loco_to_solves():
     """Short-horizon Loco TO from the standing pose converges (full
-    horizon at 1.0 s is exercised by examples/loco_to_demo.py)."""
+    horizon at 1.0 s is exercised by examples/loco_to_demo.py).
+
+    The initial rollout is wildly dynamics-infeasible (MS defects ~5),
+    which makes its recorded cost artificially LOW — so "final cost <
+    initial cost" is not a convergence criterion here.  Assert the real
+    convergence signals instead: feasibility driven to ~0, constraints
+    satisfied, and cost monotonically decreasing once feasible."""
     s, plan, meta, qr = lp.solve_loco_to(plan_dur=0.2, max_AL_iter=4,
                                          max_DDP_iter=4)
     assert bool(s.success)
-    assert float(s.feas) < 5e-2
+    assert float(s.feas) < 1e-3
+    assert float(s.max_tconstr) < 1e-3
+    assert float(s.max_pconstr) > -1e-3
     n = int(s.info.n_entries)
     costs = np.asarray(s.info.cost_buf[:n])
-    assert costs[-1] < costs[0]
+    feass = np.asarray(s.info.dyn_feas_buf[:n])
+    # cost decreases across the feasible tail of the iteration history
+    tail = costs[feass < 0.5]
+    assert len(tail) >= 2 and np.all(np.diff(tail) < 1e-9)
 
 
 def test_joint_speed_limit_flag():

@@ -161,7 +161,9 @@ def run_case(solve_b, mesh, plan, pen, x0, Xb, Ub, n_total, chunk, rng,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--total", type=int, default=4096)
-    ap.add_argument("--chunk", type=int, default=256)
+    # B=256 cascaded-WB solves exceed HBM at compile (docs/PERF.md);
+    # 64 fits with headroom on the 16G v5e
+    ap.add_argument("--chunk", type=int, default=64)
     ap.add_argument("--config", choices=["mhpc", "hkd"], default="mhpc")
     ap.add_argument("--out", default=os.path.join(REPO, "SWEEP_r03.json"))
     args = ap.parse_args()
