@@ -208,8 +208,12 @@ def main():
                 qr = _mc_quad_ref(gait, 0.75)
             fns, plan, pen, x0, Xb, Ub = build_mhpc_case(qr, model, dtype)
             if robot not in solvers:
+                # EXACTLY the bench configuration (build_bench_setup) so
+                # the mini-cheetah program hits the compile cache
                 solvers[robot] = make_batched_solver(
-                    fns, opts, mesh=mesh, trim_output=True, max_resets=16)
+                    fns, opts, mesh=mesh, trim_output=True, max_resets=16,
+                    parallel_line_search=False, fused_riccati=True,
+                    reg_floor=1e-3)
             r = run_case(solvers[robot], mesh, plan, pen, x0, Xb, Ub,
                          per, args.chunk, rng, dtype)
             result["cases"][f"{robot}/{gait}"] = r
