@@ -44,23 +44,25 @@ from cafempc_tpu.solver.hsddp import make_solver
 
 
 def device_busy_ms(tdir, n_solves):
-    """Sum device-track op durations in the trace / n_solves."""
-    busy = 0.0
+    """Mean duration of the module-level jit_solve executions on the
+    device track (avoids double-counting nested op events)."""
+    durs = []
     for f in glob.glob(f"{tdir}/**/*.trace.json.gz", recursive=True):
         with gzip.open(f, "rt") as fh:
             d = json.load(fh)
-        pid_names = {p["pid"]: p.get("args", {}).get("name", "")
-                     for p in (e for e in d.get("traceEvents", [])
-                               if e.get("ph") == "M"
-                               and e.get("name") == "process_name")}
         for ev in d.get("traceEvents", []):
             if ev.get("ph") != "X":
                 continue
-            pn = pid_names.get(ev.get("pid"), "")
-            tn = str(ev.get("args", {}))
-            if "TPU" in pn or "long_name" in tn:
-                busy += ev.get("dur", 0) / 1e3
-    return busy / n_solves
+            name = ev.get("name", "")
+            if name.startswith("jit_solve") or name == "jit_solve":
+                durs.append(ev.get("dur", 0) / 1e3)
+    if not durs:
+        return float("nan")
+    durs.sort()
+    # module events appear once per solve per track; take the longest
+    # n_solves (device track) and average
+    top = durs[-n_solves:]
+    return sum(top) / len(top)
 
 
 def main():
