@@ -189,13 +189,18 @@ def build_bench_setup(B=None, dtype=jnp.float32):
     if config == "hkd" and os.environ.get("BENCH_FUSED_LQ", "1") == "1":
         from cafempc_tpu.problems.hkd_fused import make_hkd_fused_lq
         fused_lq = make_hkd_fused_lq()
+    # knot-chunked LQ: caps the WB linearization's live AD temporaries so
+    # the 500-step horizon can batch past the HBM ceiling (B=8 unchunked)
+    default_chunk = "64" if config == "cascade500" else "0"
+    lq_chunk = int(os.environ.get("BENCH_LQ_CHUNK", default_chunk)) or None
     solve_b = make_batched_solver(fns, opts, trim_output=True,
                                   parallel_line_search=not seq_ls,
                                   fused_riccati=fused,
                                   max_resets=max_resets or None,
                                   reg_floor=reg_floor,
                                   fused_forward=fused_fwd,
-                                  fused_lq=fused_lq)
+                                  fused_lq=fused_lq,
+                                  lq_knot_chunk=lq_chunk)
     return solve_b, plan, pen_b, x0_b, Xb_b, Ub_b, metric
 
 

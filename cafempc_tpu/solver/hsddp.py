@@ -156,7 +156,8 @@ def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
                 parallel_linear_rollout=True, parallel_riccati=False,
                 parallel_line_search=True, fused_riccati=False,
                 fused_linroll=None, max_resets=None, iter_callback=None,
-                reg_floor=0.0, fused_forward=None, fused_lq=None):
+                reg_floor=0.0, fused_forward=None, fused_lq=None,
+                lq_knot_chunk=None):
     """Build the jit-ready ``solve(plan, pen, x0, Xbar0, Ubar0)`` function.
 
     fns: a ProblemFns, or a SegmentedFns for cascaded plans with a static
@@ -190,6 +191,13 @@ def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
     emitting all per-knot linearizations).  Must populate the same
     TrajState fields lq_approx does (A, B, lx, lu, lxx, luu, phix, phixx;
     C/D/ly/lyy/lux untouched means they stay zero).
+    lq_knot_chunk: when set, evaluate the per-knot dynamics/cost
+    linearizations in sequential chunks of this many knots (lax.map of a
+    chunk-wide vmap) instead of one vmap over the whole horizon.  Caps
+    the LQ stage's live AD temporaries at chunk-proportional size — the
+    enabler for long-horizon configs (cascade500: the whole-horizon WB
+    jacfwd temps are ~1.2 GB/scenario, HBM-capping the batch at 8).
+    Identical outputs to the unchunked path (tests/test_mhpc_segmented.py).
     reg_floor: minimum regularization for every backward sweep attempt.
     The reference starts each sweep at reg=0 (MultiPhaseDDP.cpp:136-165)
     and retries at reg_min_init on PSD failure; on the f32 TPU path the
@@ -212,20 +220,48 @@ def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
             raise ValueError("SegmentedFns requires the all-shooting "
                              "multiple-shooting configuration")
 
-    def vmap_over(make_fn, n_extra=0):
+    def _chunked_vmap(g, chunk):
+        """vmap over the leading (knot) axis in sequential `chunk`-wide
+        pieces (lax.map of a chunk-wide vmap): identical outputs, live AD
+        temporaries capped at chunk size.  Pads the axis by repeating the
+        first element (results for padding discarded)."""
+        vg = jax.vmap(g)
+
+        def run(*args):
+            N = jax.tree.leaves(args)[0].shape[0]
+            if N <= chunk:
+                return vg(*args)
+            n_pad = (-N) % chunk
+
+            def prep(a):
+                if n_pad:
+                    a = jnp.concatenate(
+                        [a, jnp.broadcast_to(a[:1], (n_pad,) + a.shape[1:])],
+                        axis=0)
+                return a.reshape(((N + n_pad) // chunk, chunk) + a.shape[1:])
+
+            out = jax.lax.map(lambda ch: vg(*ch),
+                              jax.tree.map(prep, args))
+            return jax.tree.map(
+                lambda a: a.reshape((N + n_pad,) + a.shape[2:])[:N], out)
+        return run
+
+    def vmap_over(make_fn, n_extra=0, chunk=None):
         """vmap a per-knot callable over the leading axis; for segmented
         fns each segment's slice maps with its own callable, outputs
         concatenated.  n_extra=1 for knot arrays (N+1: the last segment
-        owns the terminal knot)."""
+        owns the terminal knot).  chunk: see lq_knot_chunk."""
+        _vmap = (jax.vmap if chunk is None
+                 else lambda g: _chunked_vmap(g, chunk))
         if not segmented:
-            return jax.vmap(make_fn(fns))
+            return _vmap(make_fn(fns))
 
         def apply(*args):
             outs, o = [], 0
             for i, (cnt, f) in enumerate(zip(seg_counts, seg_fns)):
                 c = cnt + (n_extra if i == len(seg_counts) - 1 else 0)
                 sl = jax.tree.map(lambda a: a[o:o + c], args)
-                outs.append(jax.vmap(make_fn(f))(*sl))
+                outs.append(_vmap(make_fn(f))(*sl))
                 o += c
             return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),
                                 *outs)
@@ -241,12 +277,15 @@ def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
 
     v_dyn = vmap_over(lambda f: f.dyn)
     v_step_sim = vmap_over(_make_step_sim)
-    v_dyn_partials = vmap_over(lambda f: f.dyn_partials)
+    v_dyn_partials = vmap_over(lambda f: f.dyn_partials,
+                               chunk=lq_knot_chunk)
     v_reset_partial = vmap_over(lambda f: f.reset_partial)
     v_run_cost = vmap_over(lambda f: f.run_cost)
-    v_run_cost_partials = vmap_over(lambda f: f.run_cost_partials)
+    v_run_cost_partials = vmap_over(lambda f: f.run_cost_partials,
+                                    chunk=lq_knot_chunk)
     v_path_con = vmap_over(lambda f: f.path_con)
-    v_path_con_partials = vmap_over(lambda f: f.path_con_partials)
+    v_path_con_partials = vmap_over(lambda f: f.path_con_partials,
+                                    chunk=lq_knot_chunk)
     v_term_cost = vmap_over(lambda f: f.term_cost, n_extra=1)
     v_term_cost_partials = vmap_over(lambda f: f.term_cost_partials,
                                      n_extra=1)

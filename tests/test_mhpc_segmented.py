@@ -63,6 +63,29 @@ def test_segmented_matches_joint(small_problem):
     assert bool(s_seg.success)
 
 
+def test_lq_knot_chunk_matches_unchunked(small_problem):
+    """lq_knot_chunk (sequential chunk-wise LQ evaluation, the
+    long-horizon HBM enabler) must be bit-identical math to the whole-
+    horizon vmap; chunk=5 deliberately does not divide either segment so
+    the padding path is exercised."""
+    cfg, opts, plan, pen, x0, Xb, Ub = small_problem
+    model = mp.wbm.load_model()
+    fns_seg = mp.make_mhpc_fns_segmented(cfg, model)
+    s_a = jax.jit(make_solver(fns_seg, opts, max_resets=6))(
+        plan, pen, x0, Xb, Ub)
+    s_b = jax.jit(make_solver(fns_seg, opts, max_resets=6,
+                              lq_knot_chunk=5))(plan, pen, x0, Xb, Ub)
+    np.testing.assert_allclose(np.asarray(s_b.traj.Xbar),
+                               np.asarray(s_a.traj.Xbar),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(s_b.traj.K),
+                               np.asarray(s_a.traj.K),
+                               rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(float(s_b.cost), float(s_a.cost),
+                               rtol=1e-10)
+    assert bool(s_b.success)
+
+
 def test_gather_reset_matches_masked(small_problem):
     """max_resets gather path == mask-everywhere path on the joint fns."""
     cfg, opts, plan, pen, x0, Xb, Ub = small_problem
