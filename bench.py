@@ -149,9 +149,9 @@ def build_bench_setup(B=None, dtype=jnp.float32):
     shared by bench.main and the profiling tools (tools/trace_bench.py,
     tools/probe_iters.py) so they all measure the SAME program."""
     config = os.environ.get("BENCH_CONFIG", "hkd")
-    # cascade500 per-scenario plan buffers are ~10x the production
-    # horizon; default to a smaller batch there (HBM capacity)
-    default_b = "32" if config == "cascade500" else "256"
+    # cascade500 per-scenario buffers are ~10x the production horizon;
+    # best measured point is B=64 with the knot-chunked LQ (chunk 16)
+    default_b = "64" if config == "cascade500" else "256"
     B = B or int(os.environ.get("BENCH_BATCH", default_b))
     builders = {"hkd": build_hkd, "mhpc": build_mhpc,
                 "cascade500": build_cascade500}
@@ -191,7 +191,7 @@ def build_bench_setup(B=None, dtype=jnp.float32):
         fused_lq = make_hkd_fused_lq()
     # knot-chunked LQ: caps the WB linearization's live AD temporaries so
     # the 500-step horizon can batch past the HBM ceiling (B=8 unchunked)
-    default_chunk = "64" if config == "cascade500" else "0"
+    default_chunk = "16" if config == "cascade500" else "0"
     lq_chunk = int(os.environ.get("BENCH_LQ_CHUNK", default_chunk)) or None
     solve_b = make_batched_solver(fns, opts, trim_output=True,
                                   parallel_line_search=not seq_ls,
