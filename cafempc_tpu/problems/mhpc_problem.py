@@ -460,7 +460,8 @@ def apply_transition_foot_handoff(plan_np, cfg: MHPCConfig, x_transition,
     return plan_np
 
 
-def make_mhpc_fns(cfg: MHPCConfig, model=None, mode="joint") -> ProblemFns:
+def make_mhpc_fns(cfg: MHPCConfig, model=None, mode="joint",
+                  urdf=wbm.DEFAULT_URDF) -> ProblemFns:
     """Problem functions for the cascade.
 
     mode="joint": every callable handles both models via a model_id
@@ -469,9 +470,14 @@ def make_mhpc_fns(cfg: MHPCConfig, model=None, mode="joint") -> ProblemFns:
     solver (SegmentedFns), which restricts each model's evaluation to its
     own static step range — the reference's per-phase LQ touches only its
     own model (SinglePhase.cpp:265-320).
+
+    In mode="wb" the returned fns also carry lane-form batch overrides
+    (problems/mhpc_lane.py) that evaluate the WB linearizations with the
+    scenario x knot axis lane-minor — disable with CAFEMPC_WB_LANE=0.
+    `urdf` selects the robot (must match `model` when both are given).
     """
     if model is None and mode != "srb":
-        model = wbm.load_model()
+        model = wbm.load_model(urdf)
     cfg = _default_weights(cfg)
     wb_q = jnp.asarray(cfg.wb_q)
     wb_r = jnp.asarray(cfg.wb_r)
@@ -819,24 +825,31 @@ def make_mhpc_fns(cfg: MHPCConfig, model=None, mode="joint") -> ProblemFns:
             hx = jnp.zeros((N_TCON, XS), x.dtype)
             return hx.at[:, 0:18].set(J[:, 2, :])
 
+    batch_overrides = {}
+    if mode == "wb" and not use_ad \
+            and os.environ.get("CAFEMPC_WB_LANE", "1") == "1":
+        from cafempc_tpu.problems import mhpc_lane
+        batch_overrides = mhpc_lane.make_wb_lane_batch_fns(cfg, urdf)
+
     return ProblemFns(
         dyn=dyn, dyn_partials=dyn_partials, reset=reset,
         reset_partial=reset_partial, run_cost=run_cost,
         run_cost_partials=run_cost_partials, term_cost=term_cost,
         term_cost_partials=term_cost_partials, path_con=path_con,
         path_con_partials=path_con_partials, term_con=term_con,
-        term_con_partials=term_con_partials)
+        term_con_partials=term_con_partials, **batch_overrides)
 
 
-def make_mhpc_fns_segmented(cfg: MHPCConfig, model=None) -> SegmentedFns:
+def make_mhpc_fns_segmented(cfg: MHPCConfig, model=None,
+                            urdf=wbm.DEFAULT_URDF) -> SegmentedFns:
     """Two-segment problem functions for the cascade: WB steps
     [0, wb_block), SRB tail [wb_block, n_steps_max).  Requires the plan
     from build_mhpc_plan (carry-pad layout).  Eliminates the WB KKT
     dynamics/partials from SRB knots and vice versa — the dominant waste
     of the joint where-select fns."""
     cfg = _default_weights(cfg)
-    wb = make_mhpc_fns(cfg, model=model, mode="wb")
-    tail = make_mhpc_fns(cfg, model=model, mode="srb")
+    wb = make_mhpc_fns(cfg, model=model, mode="wb", urdf=urdf)
+    tail = make_mhpc_fns(cfg, model=model, mode="srb", urdf=urdf)
     return SegmentedFns(
         counts=(cfg.wb_block, cfg.n_steps_max - cfg.wb_block),
         fns=(wb, tail))

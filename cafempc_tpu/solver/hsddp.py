@@ -55,6 +55,21 @@ class ProblemFns(NamedTuple):
     path_con_partials: Callable   # (x, u, y, sd) -> (gx, gu, gy)
     term_con: Callable            # (x, kd) -> h  [n_tcon]
     term_con_partials: Callable   # (x, kd) -> hx [n_tcon, xs]
+    # Optional KNOT-BATCHED overrides (leading axis = knots): when set,
+    # the solver calls them on the whole (segment) slice instead of
+    # vmapping the per-knot callable — the hook for lane-form
+    # implementations that control their own batching/layout (e.g.
+    # problems/mhpc_lane.make_wb_lane_batch_fns, which folds the
+    # scenario batch into a lane-minor axis via custom_vmap).  Each must
+    # be semantically identical to vmap(per-knot fn).
+    dyn_batch: Any = None                 # (X, U, sd) -> (Xn, Y)
+    dyn_partials_batch: Any = None        # (X, U, sd) -> (A, B, C, D)
+    run_cost_batch: Any = None            # (X, U, Y, sd) -> l [n]
+    run_cost_partials_batch: Any = None
+    term_cost_batch: Any = None           # (X, kd) -> phi [n]
+    term_cost_partials_batch: Any = None
+    term_con_batch: Any = None            # (X, kd) -> h [n, n_tcon]
+    term_con_partials_batch: Any = None
 
 
 class SegmentedFns(NamedTuple):
@@ -118,6 +133,91 @@ class SolverState(NamedTuple):
     success: Any          # False only on unrecoverable backward-sweep failure
     done: Any             # outer-loop termination flag
     info: SolverInfo
+
+
+def riccati_lft_elements(A, B, C, D, lx, lu, ly, lxx, luu, lux, lyy,
+                         phix, phixx, defect, w, reg):
+    """Per-knot linear-fractional-transform elements of the Riccati
+    backward map (cf. PAPERS.md: Parallelization of Riccati Recursion):
+    5-tuple (A, b, C, eta, J) per knot, [N+1, ...] with the terminal
+    cost as the last element.  Dynamics steps eliminate u around the
+    regularized luu; reset/padding steps (w) are plain affine transforms
+    (G <- Px^T G, H <- Px^T H Px).  Shared by the in-solver
+    associative-scan sweep and the knot-sharded multi-device sweep
+    (parallel/knot_riccati.py)."""
+    xs = A.shape[-1]
+    us = B.shape[-1]
+    dtype = A.dtype
+    I_u = jnp.eye(us, dtype=dtype)
+    I_x = jnp.eye(xs, dtype=dtype)
+
+    lyC = jnp.einsum("kij,ki->kj", C, ly)
+    lyD = jnp.einsum("kij,ki->kj", D, ly)
+    lxx = lxx + jnp.einsum("kji,kjl,klm->kim", C, lyy, C) + reg * I_x
+    luu = luu + jnp.einsum("kji,kjl,klm->kim", D, lyy, D) + reg * I_u
+    lux = lux + jnp.einsum("kji,kjl,klm->kim", D, lyy, C)
+    lx = lx + lyC
+    lu = lu + lyD
+
+    luu_inv = jnp.linalg.inv(luu)
+    Kc = jnp.einsum("kij,kjl->kil", luu_inv, lux)
+    kc = jnp.einsum("kij,kj->ki", luu_inv, lu)
+    A_d = A - jnp.einsum("kij,kjl->kil", B, Kc)
+    b_d = defect[1:] - jnp.einsum("kij,kj->ki", B, kc)
+    C_d = jnp.einsum("kij,kjl,kml->kim", B, luu_inv, B)
+    eta_d = lx - jnp.einsum("kji,kj->ki", Kc, lu)
+    J_d = lxx - jnp.einsum("kji,kjl->kil", lux, Kc)
+    J_d = 0.5 * (J_d + jnp.swapaxes(J_d, -1, -2))
+
+    zC = jnp.zeros_like(C_d[..., :xs, :xs])
+    wA = w[:, None, None]
+    A_e = jnp.where(wA, A, A_d)
+    b_e = jnp.where(w[:, None], defect[1:], b_d)
+    C_e = jnp.where(wA, zC, C_d)
+    eta_e = jnp.where(w[:, None], phix[:-1], eta_d)
+    J_e = jnp.where(wA, phixx[:-1], J_d)
+
+    A_e = jnp.concatenate([A_e, jnp.zeros((1, xs, xs), dtype)])
+    b_e = jnp.concatenate([b_e, jnp.zeros((1, xs), dtype)])
+    C_e = jnp.concatenate([C_e, jnp.zeros((1, xs, xs), dtype)])
+    eta_e = jnp.concatenate([eta_e, phix[-1:]])
+    J_e = jnp.concatenate([J_e, phixx[-1:]])
+    return (A_e, b_e, C_e, eta_e, J_e), (lx, lu, lxx, luu, lux)
+
+
+def lft_combine(later, earlier):
+    """Associative composition of Riccati LFT elements; folds as
+    fn(suffix, elem) under associative_scan(reverse=True) — first arg
+    the later-time composite, second the earlier element."""
+    f, l = earlier, later
+    Af, bf, Cf, etaf, Jf = f
+    Al, bl, Cl, etal, Jl = l
+    xs = Af.shape[-1]
+    M = jnp.linalg.solve(
+        jnp.eye(xs, dtype=Af.dtype) + jnp.einsum(
+            "...ij,...jl->...il", Cf, Jl),
+        jnp.concatenate([Af, (bf - jnp.einsum(
+            "...ij,...j->...i", Cf, etal))[..., None], Cf], -1))
+    MA = M[..., :xs]
+    Mb = M[..., xs]
+    MC = M[..., xs + 1:]
+    Nt = jnp.linalg.solve(
+        jnp.eye(xs, dtype=Af.dtype) + jnp.einsum(
+            "...ij,...jl->...il", Jl, Cf),
+        jnp.concatenate([
+            jnp.einsum("...ij,...jl->...il", Jl, Af),
+            (etal + jnp.einsum("...ij,...j->...i", Jl, bf))[
+                ..., None]], -1))
+    NJ = Nt[..., :xs]
+    Ne = Nt[..., xs]
+    A_t = jnp.einsum("...ij,...jl->...il", Al, MA)
+    b_t = jnp.einsum("...ij,...j->...i", Al, Mb) + bl
+    C_t = jnp.einsum("...ij,...lj->...il", jnp.einsum(
+        "...ij,...jl->...il", Al, MC), Al) + Cl
+    eta_t = jnp.einsum("...ji,...j->...i", Af, Ne) + etaf
+    J_t = jnp.einsum("...ji,...jl->...il", Af, NJ) + Jf
+    J_t = 0.5 * (J_t + jnp.swapaxes(J_t, -1, -2))
+    return (A_t, b_t, C_t, eta_t, J_t)
 
 
 def init_traj(plan: KnotPlan, xs, us, ys, Xbar0, Ubar0, dtype):
@@ -212,6 +312,13 @@ def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
                                       or not (all_shooting and opts.MS)):
         raise ValueError("fused_forward requires the sequential line "
                          "search and the all-shooting MS configuration")
+    if fused_lq is not None and lq_knot_chunk:
+        # fused_lq replaces lq_approx wholesale, so the chunked vmaps
+        # (which live inside the generic lq_approx) would silently never
+        # run — reject the combination instead of half-honoring it.
+        raise ValueError("fused_lq and lq_knot_chunk are mutually "
+                         "exclusive: the fused LQ kernel bypasses the "
+                         "generic (chunkable) LQ path")
     segmented = isinstance(fns, SegmentedFns)
     if segmented:
         seg_counts = tuple(int(c) for c in fns.counts)
@@ -228,7 +335,13 @@ def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
         vg = jax.vmap(g)
 
         def run(*args):
-            N = jax.tree.leaves(args)[0].shape[0]
+            leaves = jax.tree.leaves(args)
+            N = leaves[0].shape[0]
+            bad = [a.shape for a in leaves if a.shape[0] != N]
+            if bad:
+                raise ValueError(
+                    f"_chunked_vmap: all arguments must share the leading "
+                    f"(knot) axis {N}; got leading dims {bad}")
             if N <= chunk:
                 return vg(*args)
             n_pad = (-N) % chunk
@@ -246,22 +359,31 @@ def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
                 lambda a: a.reshape((N + n_pad,) + a.shape[2:])[:N], out)
         return run
 
-    def vmap_over(make_fn, n_extra=0, chunk=None):
+    def vmap_over(make_fn, n_extra=0, chunk=None, batch_attr=None):
         """vmap a per-knot callable over the leading axis; for segmented
         fns each segment's slice maps with its own callable, outputs
         concatenated.  n_extra=1 for knot arrays (N+1: the last segment
-        owns the terminal knot).  chunk: see lq_knot_chunk."""
+        owns the terminal knot).  chunk: see lq_knot_chunk.  batch_attr:
+        name of an optional ProblemFns *_batch override — when the
+        segment's fns carry one, it is called on the whole slice instead
+        of the vmap (and the chunked vmap: batch overrides own their
+        memory strategy)."""
         _vmap = (jax.vmap if chunk is None
                  else lambda g: _chunked_vmap(g, chunk))
+
+        def seg_fn(f):
+            bf = getattr(f, batch_attr, None) if batch_attr else None
+            return bf if bf is not None else _vmap(make_fn(f))
+
         if not segmented:
-            return _vmap(make_fn(fns))
+            return seg_fn(fns)
 
         def apply(*args):
             outs, o = [], 0
             for i, (cnt, f) in enumerate(zip(seg_counts, seg_fns)):
                 c = cnt + (n_extra if i == len(seg_counts) - 1 else 0)
                 sl = jax.tree.map(lambda a: a[o:o + c], args)
-                outs.append(_vmap(make_fn(f))(*sl))
+                outs.append(seg_fn(f)(*sl))
                 o += c
             return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),
                                 *outs)
@@ -275,22 +397,30 @@ def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
             return xn, y
         return step_sim
 
-    v_dyn = vmap_over(lambda f: f.dyn)
+    v_dyn = vmap_over(lambda f: f.dyn, batch_attr="dyn_batch")
     v_step_sim = vmap_over(_make_step_sim)
     v_dyn_partials = vmap_over(lambda f: f.dyn_partials,
-                               chunk=lq_knot_chunk)
+                               chunk=lq_knot_chunk,
+                               batch_attr="dyn_partials_batch")
     v_reset_partial = vmap_over(lambda f: f.reset_partial)
-    v_run_cost = vmap_over(lambda f: f.run_cost)
+    v_run_cost = vmap_over(lambda f: f.run_cost,
+                           batch_attr="run_cost_batch")
     v_run_cost_partials = vmap_over(lambda f: f.run_cost_partials,
-                                    chunk=lq_knot_chunk)
+                                    chunk=lq_knot_chunk,
+                                    batch_attr="run_cost_partials_batch")
     v_path_con = vmap_over(lambda f: f.path_con)
     v_path_con_partials = vmap_over(lambda f: f.path_con_partials,
                                     chunk=lq_knot_chunk)
-    v_term_cost = vmap_over(lambda f: f.term_cost, n_extra=1)
+    v_term_cost = vmap_over(lambda f: f.term_cost, n_extra=1,
+                            batch_attr="term_cost_batch")
     v_term_cost_partials = vmap_over(lambda f: f.term_cost_partials,
-                                     n_extra=1)
-    v_term_con = vmap_over(lambda f: f.term_con, n_extra=1)
-    v_term_con_partials = vmap_over(lambda f: f.term_con_partials, n_extra=1)
+                                     n_extra=1,
+                                     batch_attr="term_cost_partials_batch")
+    v_term_con = vmap_over(lambda f: f.term_con, n_extra=1,
+                           batch_attr="term_con_batch")
+    v_term_con_partials = vmap_over(lambda f: f.term_con_partials,
+                                    n_extra=1,
+                                    batch_attr="term_con_partials_batch")
 
     def _reset_sites(sd):
         """Per segment: (offset, fns, gathered indices, validity mask)."""
@@ -548,83 +678,14 @@ def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
         sd = plan.step
         xs = tr.Xbar.shape[-1]
         us = tr.Ubar.shape[-1]
-        N = tr.Ubar.shape[0]
         I_u = jnp.eye(us, dtype=tr.Xbar.dtype)
-        I_x = jnp.eye(xs, dtype=tr.Xbar.dtype)
         w = ((sd.is_reset > 0) | (sd.active == 0))
 
-        # effective cost partials including the y-output terms
-        lyC = jnp.einsum("kij,ki->kj", tr.C, tr.ly)
-        lyD = jnp.einsum("kij,ki->kj", tr.D, tr.ly)
-        lxx = tr.lxx + jnp.einsum("kji,kjl,klm->kim", tr.C, tr.lyy, tr.C) \
-            + reg * I_x
-        luu = tr.luu + jnp.einsum("kji,kjl,klm->kim", tr.D, tr.lyy, tr.D) \
-            + reg * I_u
-        lux = tr.lux + jnp.einsum("kji,kjl,klm->kim", tr.D, tr.lyy, tr.C)
-        lx = tr.lx + lyC
-        lu = tr.lu + lyD
-
-        # dyn-step elements: eliminate u around the regularized luu
-        luu_inv = jnp.linalg.inv(luu)
-        Kc = jnp.einsum("kij,kjl->kil", luu_inv, lux)
-        kc = jnp.einsum("kij,kj->ki", luu_inv, lu)
-        A_d = tr.A - jnp.einsum("kij,kjl->kil", tr.B, Kc)
-        b_d = tr.Defect[1:] - jnp.einsum("kij,kj->ki", tr.B, kc)
-        C_d = jnp.einsum("kij,kjl,kml->kim", tr.B, luu_inv, tr.B)
-        eta_d = lx - jnp.einsum("kji,kj->ki", Kc, lu)
-        J_d = lxx - jnp.einsum("kji,kjl->kil", lux, Kc)
-        J_d = 0.5 * (J_d + jnp.swapaxes(J_d, -1, -2))
-
-        # transform elements (reset / padding): affine in (G', H')
-        zC = jnp.zeros_like(C_d[..., :xs, :xs])
-        wA = w[:, None, None]
-        A_e = jnp.where(wA, tr.A, A_d)
-        b_e = jnp.where(w[:, None], tr.Defect[1:], b_d)
-        C_e = jnp.where(wA, zC, C_d)
-        eta_e = jnp.where(w[:, None], tr.phix[:-1], eta_d)
-        J_e = jnp.where(wA, tr.phixx[:-1], J_d)
-
-        # terminal element
-        A_e = jnp.concatenate([A_e, jnp.zeros((1, xs, xs), A_e.dtype)])
-        b_e = jnp.concatenate([b_e, jnp.zeros((1, xs), b_e.dtype)])
-        C_e = jnp.concatenate([C_e, jnp.zeros((1, xs, xs), C_e.dtype)])
-        eta_e = jnp.concatenate([eta_e, tr.phix[-1:]])
-        J_e = jnp.concatenate([J_e, tr.phixx[-1:]])
-
-        def combine(later, earlier):
-            # associative_scan(reverse=True) folds as fn(suffix, elem):
-            # first arg = later-time composite, second = earlier element
-            f, l = earlier, later
-            Af, bf, Cf, etaf, Jf = f
-            Al, bl, Cl, etal, Jl = l
-            M = jnp.linalg.solve(
-                jnp.eye(xs, dtype=Af.dtype) + jnp.einsum(
-                    "...ij,...jl->...il", Cf, Jl),
-                jnp.concatenate([Af, (bf - jnp.einsum(
-                    "...ij,...j->...i", Cf, etal))[..., None], Cf], -1))
-            MA = M[..., :xs]
-            Mb = M[..., xs]
-            MC = M[..., xs + 1:]
-            Nt = jnp.linalg.solve(
-                jnp.eye(xs, dtype=Af.dtype) + jnp.einsum(
-                    "...ij,...jl->...il", Jl, Cf),
-                jnp.concatenate([
-                    jnp.einsum("...ij,...jl->...il", Jl, Af),
-                    (etal + jnp.einsum("...ij,...j->...i", Jl, bf))[
-                        ..., None]], -1))
-            NJ = Nt[..., :xs]
-            Ne = Nt[..., xs]
-            A_t = jnp.einsum("...ij,...jl->...il", Al, MA)
-            b_t = jnp.einsum("...ij,...j->...i", Al, Mb) + bl
-            C_t = jnp.einsum("...ij,...lj->...il", jnp.einsum(
-                "...ij,...jl->...il", Al, MC), Al) + Cl
-            eta_t = jnp.einsum("...ji,...j->...i", Af, Ne) + etaf
-            J_t = jnp.einsum("...ji,...jl->...il", Af, NJ) + Jf
-            J_t = 0.5 * (J_t + jnp.swapaxes(J_t, -1, -2))
-            return (A_t, b_t, C_t, eta_t, J_t)
-
+        elems, (lx, lu, lxx, luu, lux) = riccati_lft_elements(
+            tr.A, tr.B, tr.C, tr.D, tr.lx, tr.lu, tr.ly, tr.lxx, tr.luu,
+            tr.lux, tr.lyy, tr.phix, tr.phixx, tr.Defect, w, reg)
         _, _, _, eta_s, J_s = jax.lax.associative_scan(
-            combine, (A_e, b_e, C_e, eta_e, J_e), reverse=True)
+            lft_combine, elems, reverse=True)
         G = eta_s
         H = J_s
 
