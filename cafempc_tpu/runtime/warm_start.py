@@ -17,21 +17,18 @@ identical to the per-knot scan in tests/test_mhpc_runtime.py.
 import numpy as np
 
 
-def time_aligned_warm_start(old_knot, old_shift, oXb, oUb,
-                            new_knot, new_shift, Xbar0, Ubar0):
-    """Map (oXb, oUb) from the old plan's knots onto the new plan's.
-
-    old_knot/new_knot: KnotData (host numpy views are taken);
-    old_shift/new_shift: absolute time of each plan's t=0.
-    Returns (Xb, Ub) — copies of Xbar0/Ubar0 with matched rows replaced.
-    """
+def warm_start_indices(old_knot, old_shift, new_knot, new_shift):
+    """Index mapping (src, dst) of old plan knots onto new plan knots by
+    absolute time + model id.  Plan-determined only — the same mapping
+    applies to every scenario of a batch (tools/scenario_sweep.py MPC
+    chains apply it to [B, N, xs] arrays at once)."""
     old_t = np.asarray(old_knot.t) + old_shift
     old_active = np.asarray(old_knot.active) > 0
     old_model = np.asarray(old_knot.model_id)
     new_t = np.asarray(new_knot.t) + new_shift
     new_active = np.asarray(new_knot.active) > 0
     new_model = np.asarray(new_knot.model_id)
-    Xb, Ub = Xbar0.copy(), Ubar0.copy()
+    srcs, dsts = [], []
     for m in np.unique(new_model[new_active]):
         oi = np.where(old_active & (old_model == m))[0]
         if not len(oi):
@@ -44,9 +41,25 @@ def time_aligned_warm_start(old_knot, old_shift, oXb, oUb,
         ok = hi > 0
         hit = np.clip(hi - 1, 0, len(ot_s) - 1)
         ok &= np.abs(ot_s[hit] - new_t[nj]) < 1e-6
-        src = oi_s[hit[ok]]
-        dst = nj[ok]
-        Xb[dst] = oXb[src]
-        um = (dst < len(Ub)) & (src < len(oUb))
-        Ub[dst[um]] = oUb[src[um]]
+        srcs.append(oi_s[hit[ok]])
+        dsts.append(nj[ok])
+    if not srcs:
+        return np.zeros(0, int), np.zeros(0, int)
+    return np.concatenate(srcs), np.concatenate(dsts)
+
+
+def time_aligned_warm_start(old_knot, old_shift, oXb, oUb,
+                            new_knot, new_shift, Xbar0, Ubar0):
+    """Map (oXb, oUb) from the old plan's knots onto the new plan's.
+
+    old_knot/new_knot: KnotData (host numpy views are taken);
+    old_shift/new_shift: absolute time of each plan's t=0.
+    Returns (Xb, Ub) — copies of Xbar0/Ubar0 with matched rows replaced.
+    """
+    src, dst = warm_start_indices(old_knot, old_shift, new_knot,
+                                  new_shift)
+    Xb, Ub = Xbar0.copy(), Ubar0.copy()
+    Xb[dst] = oXb[src]
+    um = (dst < len(Ub)) & (src < len(oUb))
+    Ub[dst[um]] = oUb[src[um]]
     return Xb, Ub

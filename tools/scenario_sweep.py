@@ -14,7 +14,7 @@ Usage:
   python tools/scenario_sweep.py [--total 4096] [--chunk 256]
                                  [--config mhpc|hkd] [--out SWEEP.json]
 
-Writes a JSON artifact (default SWEEP_r03.json at the repo root) with
+Writes a JSON artifact (default SWEEP_r04.json at the repo root) with
 per-(robot, gait) success rates, cost percentiles, and throughput —
 evidence that persists between sessions (VERDICT r2 weak #4).
 """
@@ -32,6 +32,9 @@ import jax.numpy as jnp
 import numpy as np
 
 jax.config.update("jax_default_matmul_precision", "highest")
+if os.environ.get("CAFEMPC_SWEEP_CPU"):
+    # CPU smoke path (JAX_PLATFORMS env alone is unreliable in this image)
+    jax.config.update("jax_platforms", "cpu")
 try:
     jax.devices()
 except RuntimeError:
@@ -52,6 +55,7 @@ from cafempc_tpu.solver.options import load_solver_options
 from cafempc_tpu.solver.plan import host_plan_to_device
 from cafempc_tpu.parallel.mesh import (make_batched_solver, replicate,
                                        scenario_mesh, shard_batch)
+from cafempc_tpu.runtime.warm_start import warm_start_indices
 
 REF_DATA = "/root/reference/Reference/Data"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -82,7 +86,7 @@ def _arcdog_quad_ref(gait, plan_dur, model):
     return qr
 
 
-def build_mhpc_case(qr, model, dtype):
+def build_mhpc_case(qr, model, dtype, urdf=None):
     """Cascaded MHPC plan at the production horizon (25 WB + SRB tail)."""
     cfg = mp.load_mhpc_config(
         "/root/reference/MHPC/settings/mhpc_config.info")
@@ -94,8 +98,10 @@ def build_mhpc_case(qr, model, dtype):
     plan = host_plan_to_device(plan_np, dtype=dtype)
     pen = jax.tree.map(lambda a: jnp.asarray(np.asarray(a), dtype), pen_np)
     x0 = np.asarray(wb_state_ref_at(qr, 0.0))
-    fns = mp.make_mhpc_fns_segmented(cfg, model=model)
-    return fns, plan, pen, x0, np.asarray(Xbar0), np.asarray(Ubar0)
+    fns = mp.make_mhpc_fns_segmented(
+        cfg, model=model, urdf=urdf or mp.wbm.DEFAULT_URDF)
+    return fns, plan, pen, x0, np.asarray(Xbar0), np.asarray(Ubar0), \
+        plan_np
 
 
 def build_hkd_case(gait, dtype, plan_dur=1.0, n_steps_max=112):
@@ -115,11 +121,142 @@ def build_hkd_case(gait, dtype, plan_dur=1.0, n_steps_max=112):
             np.asarray(Ubar0))
 
 
+def _iter_stats(infos):
+    """Aggregate SolverInfo telemetry over every solve of a case
+    (VERDICT r3 weak #2: record per-case iteration counts so throughput
+    anisotropy is attributable)."""
+    out = {}
+    for name in ("iters", "ls_iters", "reg_iters"):
+        v = np.concatenate([np.asarray(i[name], dtype=float).ravel()
+                            for i in infos])
+        out[f"{name}_mean"] = round(float(v.mean()), 2)
+        out[f"{name}_max"] = int(v.max())
+    return out
+
+
+def make_propagator(model, bg_alpha, plan_np, dt_mpc):
+    """Plant-step function: integrate each scenario's state through the
+    solved controls for one MPC period (the test_mpc_runtime pattern,
+    plant = own WB dynamics incl. impact resets at phase boundaries).
+    Returns (fn(x_b [B,36], U_b [B,N,12]) -> [B,36], n_steps_consumed)."""
+    step = plan_np.step
+    seq = []          # (kind, k) kind: 0 dyn, 1 reset
+    t_acc, k = 0.0, 0
+    while t_acc < dt_mpc - 1e-9:
+        if step.active[k] < 1:
+            break
+        if step.is_reset[k] > 0:
+            seq.append((1, k))
+        else:
+            seq.append((0, k))
+            t_acc += float(step.dt[k])
+        k += 1
+
+    contact = np.asarray(step.contact)
+    contact_next = np.asarray(step.contact_next)
+    dts = np.asarray(step.dt)
+
+    @jax.jit
+    def prop(x_b, U_b):
+        def one(x, U):
+            for kind, kk in seq:
+                if kind == 0:
+                    x, _ = wbm.dynamics(model, x, U[kk], float(dts[kk]),
+                                        jnp.asarray(contact[kk], x.dtype),
+                                        bg_alpha)
+                else:
+                    x, _ = wbm.impact(model, x,
+                                      jnp.asarray(contact[kk], x.dtype),
+                                      jnp.asarray(contact_next[kk],
+                                                  x.dtype))
+            return x
+        return jax.vmap(one)(x_b, U_b)
+    return prop
+
+
+def run_case_chain(solve_b, mesh, chain_steps, n_total, chunk, rng,
+                   dtype, propagators, push_sigma=0.25, noise_sigma=0.02):
+    """Each scenario runs as a warm-started MPC chain: cold-start solve
+    at t0, then per MPC period propagate the state through the solved
+    controls (plant = own WB dynamics) and re-solve the advanced plan
+    warm-started from the previous solution (VERDICT r3 item 4 — quality
+    evidence at converged-MPC warm-start levels, not one-shot survival).
+
+    chain_steps: [(plan_dev, pen, x0, Xbar0, Ubar0, warm_map)], warm_map
+    the (src, dst) knot mapping from the PREVIOUS step's plan.
+    Counts every re-solve in the throughput numbers (compile chunk
+    excluded)."""
+    chain = len(chain_steps)
+    n_ok = done = timed = 0
+    t_g = 0.0
+    infos = []
+    costs, feas_final = [], []
+    n_scen = max(n_total // chain, 1)
+    x0_c = chain_steps[0][2]
+    while done < n_scen:
+        B = max(min(chunk, n_scen - done), 1)
+        x0_b = np.tile(x0_c, (B, 1))
+        x0_b += rng.normal(0, noise_sigma, x0_b.shape)
+        x0_b[:, 18:21] += rng.normal(0, push_sigma, (B, 3))
+        x_b = jnp.asarray(x0_b, dtype)
+        prev = None
+        t0 = time.perf_counter()
+        for i, (plan, pen, x0_i, Xbar0, Ubar0, wmap) in \
+                enumerate(chain_steps):
+            pen_b = jax.tree.map(
+                lambda a: jnp.broadcast_to(a, (B,) + a.shape), pen)
+            Xb_b = np.tile(np.asarray(Xbar0, np.float32), (B, 1, 1))
+            Ub_b = np.tile(np.asarray(Ubar0, np.float32), (B, 1, 1))
+            if prev is not None and wmap is not None:
+                src, dst = wmap
+                pXb = np.asarray(prev.Xbar)
+                pUb = np.asarray(prev.Ubar)
+                Xb_b[:, dst] = pXb[:, src]
+                um = (dst < Ub_b.shape[1]) & (src < pUb.shape[1])
+                Ub_b[:, dst[um]] = pUb[:, src[um]]
+                x_b = propagators[i - 1](x_b, jnp.asarray(pUb, dtype))
+            batch = (pen_b, x_b.astype(dtype), jnp.asarray(Xb_b, dtype),
+                     jnp.asarray(Ub_b, dtype))
+            plan_in = plan
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+                plan_in = replicate(plan, mesh)
+            s = solve_b(plan_in, *batch)
+            prev = jax.block_until_ready(s)
+            n_ok += int(jnp.sum(s.success))
+            infos.append({k: np.asarray(getattr(s.info, k))
+                          for k in ("iters", "ls_iters", "reg_iters")})
+            if i == chain - 1:
+                costs.append(np.asarray(s.cost, dtype=float))
+                feas_final.append(np.asarray(s.feas, dtype=float))
+        dt = time.perf_counter() - t0
+        if done > 0:                      # skip the compile chunk
+            t_g += dt
+            timed += B * chain
+        done += B
+    cost_all = np.concatenate(costs)
+    feas_all = np.concatenate(feas_final)
+    r = dict(
+        n_scenarios=done, chain=chain, n_solves=done * chain,
+        n_success=n_ok,
+        success_rate=round(n_ok / (done * chain), 4),
+        cost_p50=round(float(np.median(cost_all)), 3),
+        cost_p95=round(float(np.percentile(cost_all, 95)), 3),
+        dyn_feas_final_p50=round(float(np.median(feas_all)), 5),
+        dyn_feas_final_p95=round(float(np.percentile(feas_all, 95)), 5),
+        timed_solves=timed, timed_seconds=round(t_g, 3),
+        solves_per_s=round(timed / t_g, 1) if t_g > 0 else None)
+    r.update(_iter_stats(infos))
+    return r
+
+
 def run_case(solve_b, mesh, plan, pen, x0, Xb, Ub, n_total, chunk, rng,
              dtype, push_sigma=0.25, noise_sigma=0.02):
+    """One-shot cold-start solves (the hkd config path)."""
     plan_in = replicate(plan, mesh) if mesh is not None else plan
     n_ok, done, t_g, timed = 0, 0, 0.0, 0
     costs, feas = [], []
+    infos = []
     while done < n_total:
         B = max(min(chunk, n_total - done), 1)
         # scenario variation: initial-state noise + a velocity-impulse
@@ -145,17 +282,22 @@ def run_case(solve_b, mesh, plan, pen, x0, Xb, Ub, n_total, chunk, rng,
             t_g += dt
             timed += B
         n_ok += int(jnp.sum(s.success))
+        infos.append({k: np.asarray(getattr(s.info, k))
+                      for k in ("iters", "ls_iters", "reg_iters")})
         costs.append(np.asarray(s.cost, dtype=float))
         feas.append(np.asarray(s.feas, dtype=float))
         done += B
     cost_all = np.concatenate(costs)
     feas_all = np.concatenate(feas)
-    return dict(
+    r = dict(
         n=done, n_success=n_ok, success_rate=round(n_ok / done, 4),
         cost_p50=round(float(np.median(cost_all)), 3),
         cost_p95=round(float(np.percentile(cost_all, 95)), 3),
         dyn_feas_p50=round(float(np.median(feas_all)), 5),
+        timed_solves=timed, timed_seconds=round(t_g, 3),
         solves_per_s=round(timed / t_g, 1) if t_g > 0 else None)
+    r.update(_iter_stats(infos))
+    return r
 
 
 def main():
@@ -165,7 +307,10 @@ def main():
     # 64 fits with headroom on the 16G v5e
     ap.add_argument("--chunk", type=int, default=64)
     ap.add_argument("--config", choices=["mhpc", "hkd"], default="mhpc")
-    ap.add_argument("--out", default=os.path.join(REPO, "SWEEP_r03.json"))
+    # each scenario = a warm-started MPC chain of this many re-solves
+    # (plant = own WB dynamics between solves); 1 = one-shot cold starts
+    ap.add_argument("--chain", type=int, default=4)
+    ap.add_argument("--out", default=os.path.join(REPO, "SWEEP_r04.json"))
     args = ap.parse_args()
     dtype = jnp.float32
 
@@ -174,7 +319,14 @@ def main():
     rng = np.random.default_rng(0)
 
     result = dict(config=args.config, devices=n_dev,
-                  total_requested=args.total, chunk=args.chunk, cases={})
+                  total_requested=args.total, chunk=args.chunk,
+                  chain=args.chain, cases={})
+
+    def per_case(n_cases, i):
+        # distribute the remainder so sum(per) == total (VERDICT r3
+        # weak #5: no silent 4096 -> 4092 drop)
+        base, rem = divmod(args.total, n_cases)
+        return base + (1 if i < rem else 0)
 
     if args.config == "hkd":
         opts = load_solver_options(
@@ -182,11 +334,11 @@ def main():
         opts = dataclasses.replace(opts, max_AL_iter=2, max_DDP_iter=1)
         solve_b = make_batched_solver(hp.make_hkd_fns(), opts, mesh=mesh,
                                       trim_output=True)
-        per = args.total // len(HKD_GAITS)
-        for gait in HKD_GAITS:
+        for ci, gait in enumerate(HKD_GAITS):
             fns, plan, pen, x0, Xb, Ub = build_hkd_case(gait, dtype)
-            r = run_case(solve_b, mesh, plan, pen, x0, Xb, Ub, per,
-                         args.chunk, rng, dtype)
+            r = run_case(solve_b, mesh, plan, pen, x0, Xb, Ub,
+                         per_case(len(HKD_GAITS), ci), args.chunk, rng,
+                         dtype)
             result["cases"][f"mini_cheetah/{gait}"] = r
             print(f"mini_cheetah/{gait:10s} {r}")
     else:
@@ -196,17 +348,39 @@ def main():
         opts = dataclasses.replace(opts, max_AL_iter=4, max_DDP_iter=1)
         cases = [("mini_cheetah", g) for g in MC_GAITS] \
             + [("arcdog", g) for g in ARCDOG_GAITS]
-        per = args.total // len(cases)
         solvers = {}                      # one compiled solver per robot
         models = {"mini_cheetah": wbm.load_model(),
                   "arcdog": wbm.load_model(wbm.ARCDOG_URDF)}
-        for robot, gait in cases:
+        cfg0 = mp.load_mhpc_config(
+            "/root/reference/MHPC/settings/mhpc_config.info")
+        for ci, (robot, gait) in enumerate(cases):
             model = models[robot]
+            urdf = (wbm.ARCDOG_URDF if robot == "arcdog"
+                    else wbm.DEFAULT_URDF)
             if robot == "arcdog":
                 qr = _arcdog_quad_ref(gait, 0.75, model)
             else:
                 qr = _mc_quad_ref(gait, 0.75)
-            fns, plan, pen, x0, Xb, Ub = build_mhpc_case(qr, model, dtype)
+            # chain of receding-horizon plans (the MHPCProblem::update
+            # flow): plan_i at t0 + i*dt_mpc, warm-start maps + plant
+            # propagators between consecutive plans
+            chain_steps, propagators, host_plans = [], [], []
+            fns = None
+            for i in range(max(args.chain, 1)):
+                fns_i, plan, pen, x0, Xb, Ub, plan_np = build_mhpc_case(
+                    qr, model, dtype, urdf=urdf)
+                fns = fns or fns_i
+                chain_steps.append([plan, pen, x0, Xb, Ub, None])
+                host_plans.append(plan_np)
+                if i + 1 < max(args.chain, 1):
+                    qr.step(cfg0.dt_mpc)
+            for i in range(1, len(host_plans)):
+                chain_steps[i][5] = warm_start_indices(
+                    host_plans[i - 1].knot, (i - 1) * cfg0.dt_mpc,
+                    host_plans[i].knot, i * cfg0.dt_mpc)
+                propagators.append(make_propagator(
+                    model, cfg0.BG_alpha, host_plans[i - 1],
+                    cfg0.dt_mpc))
             if robot not in solvers:
                 # EXACTLY the bench configuration (build_bench_setup) so
                 # the mini-cheetah program hits the compile cache
@@ -214,22 +388,30 @@ def main():
                     fns, opts, mesh=mesh, trim_output=True, max_resets=16,
                     parallel_line_search=False, fused_riccati=True,
                     reg_floor=1e-3)
-            r = run_case(solvers[robot], mesh, plan, pen, x0, Xb, Ub,
-                         per, args.chunk, rng, dtype)
+            r = run_case_chain(solvers[robot], mesh,
+                               [tuple(c) for c in chain_steps],
+                               per_case(len(cases), ci), args.chunk, rng,
+                               dtype, propagators)
             result["cases"][f"{robot}/{gait}"] = r
             print(f"{robot}/{gait:10s} {r}")
 
-    done = sum(c["n"] for c in result["cases"].values())
-    rates = [c["solves_per_s"] for c in result["cases"].values()
-             if c["solves_per_s"]]
-    result["total_done"] = done
-    result["aggregate_solves_per_s"] = round(float(np.mean(rates)), 1) \
-        if rates else None
+    timed = sum(c.get("timed_solves", 0)
+                for c in result["cases"].values())
+    secs = sum(c.get("timed_seconds", 0.0)
+               for c in result["cases"].values())
+    n_solves = sum(c.get("n_solves", c.get("n", 0))
+                   for c in result["cases"].values())
+    result["total_solves"] = n_solves
+    # total timed solves / total timed seconds (NOT a mean of per-case
+    # rates, which overweights fast cases — VERDICT r3 weak #5)
+    result["aggregate_solves_per_s"] = round(timed / secs, 1) \
+        if secs > 0 else None
     result["overall_success_rate"] = round(
-        sum(c["n_success"] for c in result["cases"].values()) / done, 4)
+        sum(c["n_success"] for c in result["cases"].values())
+        / max(n_solves, 1), 4)
     with open(args.out, "w") as fh:
         json.dump(result, fh, indent=1)
-    print(f"TOTAL {done} scenarios -> {args.out}")
+    print(f"TOTAL {n_solves} solves -> {args.out}")
 
 
 if __name__ == "__main__":
