@@ -283,18 +283,50 @@ def gravity_force_lane(m: WBLaneModel, q):
 
 
 def Mv_lane(m: WBLaneModel, q, v):
-    """r(q) = M(q) v with v held constant — the carrier for the bias-force
-    jvp identities."""
-    return lanemv(mass_matrix_lane(m, q), v)
+    """r(q) = M(q) v with v held constant, contracted PER BODY —
+    sum_b Jw^T (Iw (Jw v)) + mass Jv^T (Jv v).  Never materializes the
+    full M, so q-tangents through it stay [dirs, nb, 3, nd, K] instead
+    of [dirs, nd, nd, K] x inner-tangent blowup (the OOM source when
+    the residual Jacobian differentiates M qdd at the cascade batch)."""
+    R, p, aw = fk_lane(m, q)
+    com_w, Jw, Jv, Iw = _body_jacobians_lane(m, R, p, aw)
+    wb = lanemv(Jw, v)                                     # [nb, 3, K]
+    vb = lanemv(Jv, v)
+    Lb = lanemv(Iw, wb)
+    mass = np.asarray(m.mass[m.mb_idx])
+    r = (Jw * Lb[:, :, None, :]).sum((0, 1))
+    r = r + (jnp.asarray(mass[:, None, None, None], q.dtype)
+             * Jv * vb[:, :, None, :]).sum((0, 1))
+    return r
 
 
 def bias_force_lane(m: WBLaneModel, q, v):
-    """h(q, v) = C v + g via dMv (rbda.bias_force re-expressed):
-    (Mdot v)_j = sum_i v_i dMv[i, j],  dKE_j = 0.5 dMv[j] . v."""
-    dMv = jac_lane(lambda q_: Mv_lane(m, q_, v), q)        # [nd, nd, K]
-    h1 = (v[:, None, :] * dMv).sum(0)
-    h2 = 0.5 * (dMv * v[None, :, :]).sum(1)
-    return h1 - h2 + gravity_force_lane(m, q)
+    """h(q, v) = C v + g via Jacobian-transpose Newton-Euler with
+    qdd = 0 (the structure Pinocchio's RNEA derivatives exploit,
+    WBM.cpp:459-505 upstream):
+
+        h = sum_b [ Jv_b^T m_b a_b + Jw_b^T (dIw_b/dt w_b + Iw_b wdot_b) ]
+            + g(q),
+        a_b = (dJv_b/dt) v,  wdot_b = (dJw_b/dt) v   (qdd = 0),
+
+    with every d/dt a single jvp along v.  Crucially h is FIRST-order in
+    FK derivatives, so the factored-KKT residual Jacobian (which
+    differentiates h once more) only ever needs second FK derivatives of
+    [nb, 3, nd, K] objects — the full d2M/dq2 never exists."""
+    def bundle(q_):
+        R, p, aw = fk_lane(m, q_)
+        com_w, Jw, Jv, Iw = _body_jacobians_lane(m, R, p, aw)
+        return Jw, Jv, Iw
+    (Jw, Jv, Iw), (dJw, dJv, dIw) = jax.jvp(bundle, (q,), (v,))
+    wb = lanemv(Jw, v)
+    wdot = lanemv(dJw, v)
+    ab = lanemv(dJv, v)
+    dLdt = lanemv(dIw, wb) + lanemv(Iw, wdot)              # [nb, 3, K]
+    mass = np.asarray(m.mass[m.mb_idx])
+    h = (Jw * dLdt[:, :, None, :]).sum((0, 1))
+    h = h + (jnp.asarray(mass[:, None, None, None], q.dtype)
+             * Jv * ab[:, :, None, :]).sum((0, 1))
+    return h + gravity_force_lane(m, q)
 
 
 def foot_points_lane(m: WBLaneModel, R, p):
@@ -395,13 +427,14 @@ def contact_kkt_dynamics_partials_lane(m: WBLaneModel, q, v, tau, contact,
     z_l = b[:, 0, :]
 
     def resid_q(q_):
-        M_ = mass_matrix_lane(m, q_)
         h_ = bias_force_lane(m, q_, v)
         J_ = foot_jacobians_lane(m, q_).reshape(12, nd, K)
         Jm_ = J_ * cmask3[:, None, :]
         g_ = (foot_drift_lane(m, q_, v).reshape(12, K)
               + 2.0 * bg_alpha * lanemv(J_, v)) * cmask3
-        top = lanemv(M_, qdd) + h_ + lanemv(laneT(Jm_), z_l)
+        # M(q_) qdd contracted per body (Mv_lane) — the full M is never
+        # built under the tangent directions
+        top = Mv_lane(m, q_, qdd) + h_ + lanemv(laneT(Jm_), z_l)
         bot = lanemv(Jm_, qdd) + g_
         return jnp.concatenate([top, bot], axis=0)         # [nd+12, K]
 

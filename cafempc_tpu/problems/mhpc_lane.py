@@ -38,7 +38,10 @@ N_TCON = 4
 
 
 def _lane_chunk_default():
-    return int(os.environ.get("CAFEMPC_LANE_CHUNK", "8192")) or None
+    """Default bounds the q-tangent FK temporaries ([18, 13, 3, 18, K]
+    f32 ~ 100 MB at K=2048) so the B=256 production batch and the
+    500-step cascade both fit the 16G v5e HBM with headroom."""
+    return int(os.environ.get("CAFEMPC_LANE_CHUNK", "2048")) or None
 
 
 # ------------------------------------------------------------------
