@@ -164,8 +164,9 @@ def build_bench_setup(B=None, dtype=jnp.float32, config=None):
     tools/probe_iters.py) so they all measure the SAME program."""
     config = config or os.environ.get("BENCH_CONFIG", "hkd")
     # cascade500 per-scenario buffers are ~10x the production horizon;
-    # best measured point is B=64 with the knot-chunked LQ (chunk 16)
-    default_b = "64" if config == "cascade500" else "256"
+    # best measured point on the lane-form WB path is B=128 (62.7
+    # solves/s vs 55.1 at B=64, round 4)
+    default_b = "128" if config == "cascade500" else "256"
     B = B or int(os.environ.get("BENCH_BATCH", default_b))
     builders = {"hkd": build_hkd, "mhpc": build_mhpc,
                 "cascade500": build_cascade500}
