@@ -140,6 +140,7 @@ def test_fused_lq_batched_solve_matches_generic(problem):
 
 
 @pytest.mark.slow
+@pytest.mark.xslow
 def test_fused_lq_under_shard_map(problem):
     """Production configuration: fused LQ + fused forward + fused Riccati
     + gather resets, sharded over the 8-device CPU mesh == plain vmap."""

@@ -62,6 +62,7 @@ def test_fused_solver_matches_default(problem):
 
 
 @pytest.mark.slow
+@pytest.mark.xslow
 def test_fused_sharded_matches_vmap(problem, rng):
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")

@@ -82,6 +82,7 @@ def test_fused_forward_batched_kernel_matches_generic(problem):
 
 
 @pytest.mark.slow
+@pytest.mark.xslow
 def test_fused_forward_under_shard_map(problem):
     """Production configuration: fused forward + fused Riccati + gather
     resets, sharded over the 8-device CPU mesh == plain vmap."""

@@ -3,7 +3,7 @@ solve -> MHPC_COMMAND out, over real UDP-multicast loopback (reference
 topology MHPCLocomotion.cpp:90-287)."""
 import pytest as _pytest
 
-pytestmark = _pytest.mark.slow  # compiles two WB solvers (~4 min)
+pytestmark = [_pytest.mark.slow, _pytest.mark.xslow]  # compiles two WB solvers (~4 min)
 
 import numpy as np
 import jax.numpy as jnp

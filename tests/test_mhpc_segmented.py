@@ -41,6 +41,7 @@ def small_problem():
     return cfg, opts, plan, pen, x0, jnp.asarray(Xbar0), jnp.asarray(Ubar0)
 
 
+@pytest.mark.xslow
 def test_segmented_matches_joint(small_problem):
     cfg, opts, plan, pen, x0, Xb, Ub = small_problem
     model = mp.wbm.load_model()
@@ -63,6 +64,7 @@ def test_segmented_matches_joint(small_problem):
     assert bool(s_seg.success)
 
 
+@pytest.mark.xslow
 def test_lq_knot_chunk_matches_unchunked(small_problem):
     """lq_knot_chunk (sequential chunk-wise LQ evaluation, the
     long-horizon HBM enabler) must be bit-identical math to the whole-
@@ -86,6 +88,7 @@ def test_lq_knot_chunk_matches_unchunked(small_problem):
     assert bool(s_b.success)
 
 
+@pytest.mark.xslow
 def test_gather_reset_matches_masked(small_problem):
     """max_resets gather path == mask-everywhere path on the joint fns."""
     cfg, opts, plan, pen, x0, Xb, Ub = small_problem
