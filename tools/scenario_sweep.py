@@ -175,7 +175,8 @@ def make_propagator(model, bg_alpha, plan_np, dt_mpc):
 
 
 def run_case_chain(solve_b, mesh, chain_steps, n_total, chunk, rng,
-                   dtype, propagators, push_sigma=0.25, noise_sigma=0.02):
+                   dtype, propagators, seen_bs=None, push_sigma=0.25,
+                   noise_sigma=0.02):
     """Each scenario runs as a warm-started MPC chain: cold-start solve
     at t0, then per MPC period propagate the state through the solved
     controls (plant = own WB dynamics) and re-solve the advanced plan
@@ -184,17 +185,31 @@ def run_case_chain(solve_b, mesh, chain_steps, n_total, chunk, rng,
 
     chain_steps: [(plan_dev, pen, x0, Xbar0, Ubar0, warm_map)], warm_map
     the (src, dst) knot mapping from the PREVIOUS step's plan.
-    Counts every re-solve in the throughput numbers (compile chunk
-    excluded)."""
+    Counts every re-solve in the throughput numbers.  seen_bs: batch
+    sizes this solver has already executed — the FIRST chunk of any new
+    batch shape compiles a fresh program and is excluded from timing
+    (the r3 sweep's 18x per-gait "anisotropy" was the residual-chunk
+    compile landing in the first case's timed window; iteration
+    telemetry shows the gaits solve identically)."""
     chain = len(chain_steps)
+    if seen_bs is None:
+        seen_bs = set()
     n_ok = done = timed = 0
     t_g = 0.0
     infos = []
     costs, feas_final = [], []
-    n_scen = max(n_total // chain, 1)
+    feas_steps = [[] for _ in range(chain)]
+    # ceil on both counts: the residual chunk runs at the FULL chunk
+    # size (extra scenarios are solved and reported) so exactly one
+    # batch shape ever compiles per solver — a second shape would pay a
+    # fresh 20-40 min remote compile for its first chunk
+    n_scen = max(-(-n_total // chain), 1)
+    n_scen = -(-n_scen // chunk) * chunk
     x0_c = chain_steps[0][2]
     while done < n_scen:
-        B = max(min(chunk, n_scen - done), 1)
+        B = chunk
+        timed_chunk = B in seen_bs
+        seen_bs.add(B)
         x0_b = np.tile(x0_c, (B, 1))
         x0_b += rng.normal(0, noise_sigma, x0_b.shape)
         x0_b[:, 18:21] += rng.normal(0, push_sigma, (B, 3))
@@ -226,11 +241,12 @@ def run_case_chain(solve_b, mesh, chain_steps, n_total, chunk, rng,
             n_ok += int(jnp.sum(s.success))
             infos.append({k: np.asarray(getattr(s.info, k))
                           for k in ("iters", "ls_iters", "reg_iters")})
+            feas_steps[i].append(np.asarray(s.feas, dtype=float))
             if i == chain - 1:
                 costs.append(np.asarray(s.cost, dtype=float))
                 feas_final.append(np.asarray(s.feas, dtype=float))
         dt = time.perf_counter() - t0
-        if done > 0:                      # skip the compile chunk
+        if timed_chunk:                   # first-seen shapes compile
             t_g += dt
             timed += B * chain
         done += B
@@ -244,6 +260,9 @@ def run_case_chain(solve_b, mesh, chain_steps, n_total, chunk, rng,
         cost_p95=round(float(np.percentile(cost_all, 95)), 3),
         dyn_feas_final_p50=round(float(np.median(feas_all)), 5),
         dyn_feas_final_p95=round(float(np.percentile(feas_all, 95)), 5),
+        dyn_feas_p50_by_step=[
+            round(float(np.median(np.concatenate(f))), 5)
+            for f in feas_steps],
         timed_solves=timed, timed_seconds=round(t_g, 3),
         solves_per_s=round(timed / t_g, 1) if t_g > 0 else None)
     r.update(_iter_stats(infos))
@@ -251,14 +270,18 @@ def run_case_chain(solve_b, mesh, chain_steps, n_total, chunk, rng,
 
 
 def run_case(solve_b, mesh, plan, pen, x0, Xb, Ub, n_total, chunk, rng,
-             dtype, push_sigma=0.25, noise_sigma=0.02):
+             dtype, seen_bs=None, push_sigma=0.25, noise_sigma=0.02):
     """One-shot cold-start solves (the hkd config path)."""
     plan_in = replicate(plan, mesh) if mesh is not None else plan
+    if seen_bs is None:
+        seen_bs = set()
     n_ok, done, t_g, timed = 0, 0, 0.0, 0
     costs, feas = [], []
     infos = []
     while done < n_total:
         B = max(min(chunk, n_total - done), 1)
+        timed_chunk = B in seen_bs
+        seen_bs.add(B)
         # scenario variation: initial-state noise + a velocity-impulse
         # push (the reference's hard_push.gif disturbance scenario)
         x0_b = np.tile(x0, (B, 1))
@@ -278,7 +301,7 @@ def run_case(solve_b, mesh, plan, pen, x0, Xb, Ub, n_total, chunk, rng,
         s = solve_b(plan_in, *batch)
         jax.block_until_ready(s)
         dt = time.perf_counter() - t0
-        if done > 0:                      # skip the compile chunk
+        if timed_chunk:                   # first-seen shapes compile
             t_g += dt
             timed += B
         n_ok += int(jnp.sum(s.success))
@@ -334,11 +357,12 @@ def main():
         opts = dataclasses.replace(opts, max_AL_iter=2, max_DDP_iter=1)
         solve_b = make_batched_solver(hp.make_hkd_fns(), opts, mesh=mesh,
                                       trim_output=True)
+        seen_bs = set()
         for ci, gait in enumerate(HKD_GAITS):
             fns, plan, pen, x0, Xb, Ub = build_hkd_case(gait, dtype)
             r = run_case(solve_b, mesh, plan, pen, x0, Xb, Ub,
                          per_case(len(HKD_GAITS), ci), args.chunk, rng,
-                         dtype)
+                         dtype, seen_bs=seen_bs)
             result["cases"][f"mini_cheetah/{gait}"] = r
             print(f"mini_cheetah/{gait:10s} {r}")
     else:
@@ -349,6 +373,7 @@ def main():
         cases = [("mini_cheetah", g) for g in MC_GAITS] \
             + [("arcdog", g) for g in ARCDOG_GAITS]
         solvers = {}                      # one compiled solver per robot
+        seen = {}                         # executed batch shapes per robot
         models = {"mini_cheetah": wbm.load_model(),
                   "arcdog": wbm.load_model(wbm.ARCDOG_URDF)}
         cfg0 = mp.load_mhpc_config(
@@ -391,7 +416,8 @@ def main():
             r = run_case_chain(solvers[robot], mesh,
                                [tuple(c) for c in chain_steps],
                                per_case(len(cases), ci), args.chunk, rng,
-                               dtype, propagators)
+                               dtype, propagators,
+                               seen_bs=seen.setdefault(robot, set()))
             result["cases"][f"{robot}/{gait}"] = r
             print(f"{robot}/{gait:10s} {r}")
 
