@@ -25,7 +25,7 @@ from jax import custom_batching
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cafempc_tpu.ops.lane_batched import _interpret
+from cafempc_tpu.ops.common import _interpret
 
 
 def _linroll_kernel(xs, n_steps):

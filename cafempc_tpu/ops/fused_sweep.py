@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cafempc_tpu.ops.lane_batched import _interpret
+from cafempc_tpu.ops.common import _interpret
 
 
 def _eye(n, dtype):

@@ -23,6 +23,7 @@ from cafempc_tpu.reference.quad_reference import (QuadReference,
 from cafempc_tpu.solver.hsddp import make_solver
 from cafempc_tpu.solver.options import SolverOptions
 from cafempc_tpu.solver.plan import host_plan_to_device
+from cafempc_tpu.runtime.warm_start import time_aligned_warm_start
 
 
 class MHPCRuntime:
@@ -80,48 +81,15 @@ class MHPCRuntime:
 
     def _warm_start(self, plan_np, Xbar0, Ubar0):
         """Time-aligned carry-over of the previous solution (the reference
-        keeps shifted deques; here old knot times map onto new knots).
-
-        Vectorized: per model segment, one sort of the old knot times +
-        one searchsorted over the new ones — O(N log N) instead of the
-        former per-knot candidate scan (O(N^2) python, hostile at the
-        cascade500 horizon).  Semantics match the scan: a new knot takes
-        the LAST old active knot with the same model id whose time is
-        within 1e-6 (knot times sit on a 0.01/0.05 grid, so ties are
-        exact duplicates at phase boundaries and ordering by (t, index)
-        picks the same index the scan's cand[-1] did).  Unit-tested
-        identical to the reference scan in tests/test_mhpc_runtime.py.
-        """
+        keeps shifted deques; here old knot times map onto new knots) —
+        shared vectorized matcher, runtime/warm_start.py."""
         if self.state is None:
             return Xbar0, Ubar0
-        dt_mpc = self.cfg.dt_mpc
-        old_t = np.asarray(self.plan_np.knot.t) + (self.mpc_time - dt_mpc)
-        old_active = np.asarray(self.plan_np.knot.active) > 0
-        old_model = np.asarray(self.plan_np.knot.model_id)
-        new_t = np.asarray(plan_np.knot.t) + self.mpc_time
-        new_active = np.asarray(plan_np.knot.active) > 0
-        new_model = np.asarray(plan_np.knot.model_id)
-        oXb = np.asarray(self.state.traj.Xbar)
-        oUb = np.asarray(self.state.traj.Ubar)
-        Xb, Ub = Xbar0.copy(), Ubar0.copy()
-        for m in np.unique(new_model[new_active]):
-            oi = np.where(old_active & (old_model == m))[0]
-            if not len(oi):
-                continue
-            order = np.lexsort((oi, old_t[oi]))
-            oi_s = oi[order]
-            ot_s = old_t[oi][order]
-            nj = np.where(new_active & (new_model == m))[0]
-            hi = np.searchsorted(ot_s, new_t[nj] + 1e-6, side="right")
-            ok = hi > 0
-            hit = np.clip(hi - 1, 0, len(ot_s) - 1)
-            ok &= np.abs(ot_s[hit] - new_t[nj]) < 1e-6
-            src = oi_s[hit[ok]]
-            dst = nj[ok]
-            Xb[dst] = oXb[src]
-            um = (dst < len(Ub)) & (src < len(oUb))
-            Ub[dst[um]] = oUb[src[um]]
-        return Xb, Ub
+        return time_aligned_warm_start(
+            self.plan_np.knot, self.mpc_time - self.cfg.dt_mpc,
+            np.asarray(self.state.traj.Xbar),
+            np.asarray(self.state.traj.Ubar),
+            plan_np.knot, self.mpc_time, Xbar0, Ubar0)
 
     def initialize(self, x0):
         plan_np, pen_np, Xbar0, Ubar0, meta = self._build()

@@ -29,6 +29,7 @@ from cafempc_tpu.reference.quad_reference import QuadReference
 from cafempc_tpu.solver.hsddp import make_solver
 from cafempc_tpu.solver.options import SolverOptions
 from cafempc_tpu.solver.plan import host_plan_to_device
+from cafempc_tpu.runtime.warm_start import time_aligned_warm_start
 
 
 @dataclasses.dataclass
@@ -84,46 +85,16 @@ class HKDMPCRuntime:
         return t0 + np.asarray(plan_np.knot.t)
 
     def _warm_start(self, plan_np, meta, Xbar0, Ubar0):
-        """Carry (Xbar, Ubar, K, dU, dX) from the previous solution onto the
-        new plan by absolute-time matching inside overlapping phases."""
+        """Carry (Xbar, Ubar) from the previous solution onto the new plan
+        by absolute knot time — the shared vectorized matcher
+        (runtime/warm_start.py), same implementation as the MHPC runtime."""
         if self.state is None:
             return Xbar0, Ubar0
-        old = self.state
-        old_meta = self.meta
-        old_t0 = self.mpc_time - self.dt_mpc
-
-        Xb = Xbar0.copy()
-        Ub = Ubar0.copy()
-
-        # flat index of each phase's first knot, per plan
-        def phase_slices(meta_):
-            out = []
-            j = 0
-            for (ts, te, hor, c) in meta_["phases"]:
-                out.append((ts, te, hor, tuple(int(x) for x in c), j))
-                j += hor + 1
-            return out
-
-        old_ph = phase_slices(old_meta)
-        new_ph = phase_slices(meta)
-        oXb = np.asarray(old.traj.Xbar)
-        oUb = np.asarray(old.traj.Ubar)
-        dt = self.cfg.dt_sim
-
-        for (nts, nte, nhor, nc, nj) in new_ph:
-            for (ots, ote, ohor, oc, oj) in old_ph:
-                o_s, o_e = ots + old_t0, ote + old_t0
-                n_s, n_e = nts + self.mpc_time, nte + self.mpc_time
-                if oc == nc and n_s < o_e - 1e-9 and o_s < n_e - 1e-9:
-                    for k in range(nhor + 1):
-                        t_abs = n_s + k * dt
-                        ko = int(round((t_abs - o_s) / dt))
-                        if 0 <= ko <= ohor:
-                            Xb[nj + k] = oXb[oj + ko]
-                            if k < nhor and ko < ohor:
-                                Ub[nj + k] = oUb[oj + ko]
-                    break
-        return Xb, Ub
+        return time_aligned_warm_start(
+            self.plan_np.knot, self.mpc_time - self.dt_mpc,
+            np.asarray(self.state.traj.Xbar),
+            np.asarray(self.state.traj.Ubar),
+            plan_np.knot, self.mpc_time, Xbar0, Ubar0)
 
     # ---------------- MPC steps --------------------------------------
     def _record_solve_time(self, t0):
