@@ -463,6 +463,62 @@ def contact_kkt_dynamics_partials_lane(m: WBLaneModel, q, v, tau, contact,
             dlam[:, :nd], dlam[:, nd:2 * nd], dlam[:, 2 * nd:])
 
 
+def impulse_dynamics_lane(m: WBLaneModel, q, v, impact_mask,
+                          damping=1e-12):
+    """Inelastic impact, lane form (rbda.impulse_dynamics /
+    WBM.cpp:427-456): M(v+ - v) = Jm^T Lam, Jm v+ = 0.
+    impact_mask [4, K].  Returns (v_post [nd,K], impulse [12,K])."""
+    nd = m.nd
+    K = q.shape[-1]
+    cmask3 = jnp.repeat(impact_mask, 3, axis=0)
+    M = mass_matrix_lane(m, q)
+    J = foot_jacobians_lane(m, q).reshape(12, nd, K)
+    Jm = J * cmask3[:, None, :]
+    Sdiag = (1.0 - cmask3) + damping * cmask3
+    Mv = Mv_lane(m, q, v)
+    v_post, b = _kkt_schur_solve_lane(M, Jm, Sdiag, Mv[:, None, :],
+                                      jnp.zeros((12, 1, K), q.dtype))
+    imp = -b[:, 0, :] * cmask3
+    return v_post[:, 0, :], imp
+
+
+def impulse_dynamics_partials_lane(m: WBLaneModel, q, v, impact_mask,
+                                   damping=1e-12):
+    """Analytic impulse partials, lane form
+    (rbda.impulse_dynamics_partials / WBM.cpp:508-543): q-tangents
+    through the residual with per-body M-contractions, v-columns one
+    multi-RHS application of the factored KKT (rhs = M).
+    Returns (dvpost_dq [nd,nd,K], dvpost_dv [nd,nd,K])."""
+    dtype = q.dtype
+    nd = m.nd
+    K = q.shape[-1]
+    cmask3 = jnp.repeat(impact_mask, 3, axis=0)
+    M = mass_matrix_lane(m, q)
+    J = foot_jacobians_lane(m, q).reshape(12, nd, K)
+    Jm = J * cmask3[:, None, :]
+    Sdiag = (1.0 - cmask3) + damping * cmask3
+    vp, b = _kkt_schur_solve_lane(M, Jm, Sdiag,
+                                  Mv_lane(m, q, v)[:, None, :],
+                                  jnp.zeros((12, 1, K), dtype))
+    v_post = vp[:, 0, :]
+    z_l = b[:, 0, :]
+    dv = v_post - v
+
+    def resid_q(q_):
+        J_ = foot_jacobians_lane(m, q_).reshape(12, nd, K)
+        Jm_ = J_ * cmask3[:, None, :]
+        top = Mv_lane(m, q_, dv) + lanemv(laneT(Jm_), z_l)
+        bot = lanemv(Jm_, v_post)
+        return jnp.concatenate([top, bot], axis=0)
+
+    dG_dq = jnp.transpose(jac_lane(resid_q, q), (1, 0, 2))  # [30, nd, K]
+    R1 = jnp.concatenate([-dG_dq[:nd], M], axis=1)
+    R2 = jnp.concatenate([-dG_dq[nd:], jnp.zeros((12, nd, K), dtype)],
+                         axis=1)
+    dvp, _ = _kkt_schur_solve_lane(M, Jm, Sdiag, R1, R2)
+    return dvp[:, :nd], dvp[:, nd:]
+
+
 # ------------------------------------------------------------------
 # whole-body discrete-dynamics linearization (wbm layer, lane form)
 # ------------------------------------------------------------------

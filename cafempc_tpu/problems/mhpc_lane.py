@@ -387,6 +387,70 @@ def make_wb_lane_batch_fns(cfg, urdf_path=None):
         return term_cost_partials_op(X, kd.x_ref, kd.ref_contact,
                                      kd.pf_ref, kd.com_ref, kd.td_mask)
 
+    # ---------------- reset (impact + model-switch projection) ----
+    # the gathered reset sites were the round-4 trace's top cost: the
+    # per-site vmap ran batch-first [B, n_sites, 18, 18] Cholesky
+    # custom-calls (9.5x tile padding) for every line-search trial
+    from cafempc_tpu.problems.mhpc_problem import BODY_MASK36
+
+    def _reset_masks(contact, contact_next, model_switch, dtype):
+        imp_mask = (1.0 - contact) * contact_next          # [4, K]
+        has_imp = (jnp.max(contact_next - contact, axis=0)
+                   > 0.5).astype(dtype)                    # [K]
+        return imp_mask, has_imp, model_switch
+
+    def reset_impl(X, contact, contact_next, model_switch):
+        dtype = X.dtype
+        bm = jnp.asarray(BODY_MASK36[:, None], dtype)
+
+        def core(XT, cT, cnT, msT):
+            q, v = XT[:NQ], XT[NQ:]
+            imp_mask, has_imp, ms = _reset_masks(cT, cnT, msT, dtype)
+            v_post, _ = wl.impulse_dynamics_lane(lm, q, v, imp_mask)
+            xr = jnp.concatenate(
+                [q, jnp.where(has_imp[None, :] > 0, v_post, v)])
+            return jnp.where(msT[None, :] > 0, xr * bm, xr)
+        return _from_lane(_lane_call(core, lane_chunk, _to_lane(X),
+                                     _to_lane(contact),
+                                     _to_lane(contact_next),
+                                     model_switch))
+
+    reset_op = _lane_batch(reset_impl)
+
+    def reset_batch(X, sd):
+        return reset_op(X, sd.contact, sd.contact_next, sd.model_switch)
+
+    def reset_partial_impl(X, contact, contact_next, model_switch):
+        dtype = X.dtype
+        bm = jnp.asarray(BODY_MASK36[:, None, None], dtype)
+
+        def core(XT, cT, cnT, msT):
+            K = XT.shape[-1]
+            q, v = XT[:NQ], XT[NQ:]
+            imp_mask, has_imp, ms = _reset_masks(cT, cnT, msT, dtype)
+            dvq, dvv = wl.impulse_dynamics_partials_lane(lm, q, v,
+                                                         imp_mask)
+            I = jnp.broadcast_to(jnp.eye(NQ, dtype=dtype)[:, :, None],
+                                 (NQ, NQ, K))
+            Z = jnp.zeros((NQ, NQ, K), dtype)
+            P_imp = jnp.concatenate([
+                jnp.concatenate([I, Z], axis=1),
+                jnp.concatenate([dvq, dvv], axis=1)], axis=0)
+            I36 = jnp.broadcast_to(
+                jnp.eye(XS, dtype=dtype)[:, :, None], (XS, XS, K))
+            P = jnp.where(has_imp[None, None, :] > 0, P_imp, I36)
+            return jnp.where(msT[None, None, :] > 0, bm * P, P)
+        return _from_lane(_lane_call(core, lane_chunk, _to_lane(X),
+                                     _to_lane(contact),
+                                     _to_lane(contact_next),
+                                     model_switch))
+
+    reset_partial_op = _lane_batch(reset_partial_impl)
+
+    def reset_partial_batch(X, sd):
+        return reset_partial_op(X, sd.contact, sd.contact_next,
+                                sd.model_switch)
+
     # ---------------- terminal constraint (WBTouchDown) -----------
     def term_con_impl(X):
         def core(XT):
@@ -416,6 +480,8 @@ def make_wb_lane_batch_fns(cfg, urdf_path=None):
     return dict(
         dyn_batch=dyn_batch,
         dyn_partials_batch=dyn_partials_batch,
+        reset_batch=reset_batch,
+        reset_partial_batch=reset_partial_batch,
         run_cost_batch=run_cost_batch,
         run_cost_partials_batch=run_cost_partials_batch,
         term_cost_batch=term_cost_batch,

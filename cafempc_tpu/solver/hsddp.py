@@ -64,6 +64,8 @@ class ProblemFns(NamedTuple):
     # be semantically identical to vmap(per-knot fn).
     dyn_batch: Any = None                 # (X, U, sd) -> (Xn, Y)
     dyn_partials_batch: Any = None        # (X, U, sd) -> (A, B, C, D)
+    reset_batch: Any = None               # (X, sd) -> Xn
+    reset_partial_batch: Any = None       # (X, sd) -> P [n, xs, xs]
     run_cost_batch: Any = None            # (X, U, Y, sd) -> l [n]
     run_cost_partials_batch: Any = None
     term_cost_batch: Any = None           # (X, kd) -> phi [n]
@@ -402,7 +404,8 @@ def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
     v_dyn_partials = vmap_over(lambda f: f.dyn_partials,
                                chunk=lq_knot_chunk,
                                batch_attr="dyn_partials_batch")
-    v_reset_partial = vmap_over(lambda f: f.reset_partial)
+    v_reset_partial = vmap_over(lambda f: f.reset_partial,
+                                batch_attr="reset_partial_batch")
     v_run_cost = vmap_over(lambda f: f.run_cost,
                            batch_attr="run_cost_batch")
     v_run_cost_partials = vmap_over(lambda f: f.run_cost_partials,
@@ -453,7 +456,9 @@ def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
                 for (o, cnt, f, idx, valid) in _reset_sites(sd):
                     x_g = X[o:o + cnt][idx]
                     sd_g = jax.tree.map(lambda a: a[o:o + cnt][idx], sd)
-                    xr = jax.vmap(f.reset)(x_g, sd_g)
+                    reset_f = (f.reset_batch if f.reset_batch is not None
+                               else jax.vmap(f.reset))
+                    xr = reset_f(x_g, sd_g)
                     rows = jnp.where(valid[:, None], xr,
                                      Xsim_next[o:o + cnt][idx])
                     Xsim_next = Xsim_next.at[o + idx].set(rows)
@@ -548,7 +553,10 @@ def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
             for (o, cnt, f, idx, valid) in _reset_sites(sd):
                 x_g = tr.X[o:o + cnt][idx]
                 sd_g = jax.tree.map(lambda a: a[o:o + cnt][idx], sd)
-                P_g = jax.vmap(f.reset_partial)(x_g, sd_g)
+                rp_f = (f.reset_partial_batch
+                        if f.reset_partial_batch is not None
+                        else jax.vmap(f.reset_partial))
+                P_g = rp_f(x_g, sd_g)
                 vm = valid[:, None, None]
                 A = A.at[o + idx].set(jnp.where(vm, P_g, A[o:o + cnt][idx]))
                 B = B.at[o + idx].set(

@@ -18,7 +18,8 @@ from cafempc_tpu.solver.options import load_solver_options
 
 REF = "/root/reference"
 
-BATCH_FIELDS = ("dyn_batch", "dyn_partials_batch", "run_cost_batch",
+BATCH_FIELDS = ("dyn_batch", "dyn_partials_batch", "reset_batch",
+                "reset_partial_batch", "run_cost_batch",
                 "run_cost_partials_batch", "term_cost_batch",
                 "term_cost_partials_batch", "term_con_batch",
                 "term_con_partials_batch")
@@ -83,6 +84,15 @@ def test_piece_parity(prob):
                                rtol=0, atol=1e-9)
     np.testing.assert_allclose(np.asarray(y_b), np.asarray(y_v),
                                rtol=0, atol=1e-7)
+
+    np.testing.assert_allclose(
+        np.asarray(fns.reset_batch(X, sd)),
+        np.asarray(jax.vmap(fns.reset)(X, sd)),
+        rtol=0, atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(fns.reset_partial_batch(X, sd)),
+        np.asarray(jax.vmap(fns.reset_partial)(X, sd)),
+        rtol=0, atol=1e-8)
 
     np.testing.assert_allclose(
         np.asarray(fns.run_cost_batch(X, U, Y, sd)),

@@ -108,3 +108,23 @@ def test_dynamics_step_parity(models):
                                jnp.asarray(contact[k]), 10.0)
         np.testing.assert_allclose(xn_l[:, k], xn, rtol=0, atol=1e-8)
         np.testing.assert_allclose(grf_l[:, k], grf, rtol=0, atol=1e-8)
+
+
+def test_impulse_parity(models):
+    model, lm = models
+    q, v, _, contact = _rand_states(5, seed=4)
+    vp_l, imp_l = wl.impulse_dynamics_lane(
+        lm, jnp.asarray(q.T), jnp.asarray(v.T), jnp.asarray(contact.T))
+    dq_l, dv_l = wl.impulse_dynamics_partials_lane(
+        lm, jnp.asarray(q.T), jnp.asarray(v.T), jnp.asarray(contact.T))
+    for k in range(q.shape[0]):
+        vp, imp = rbda.impulse_dynamics(model, jnp.asarray(q[k]),
+                                        jnp.asarray(v[k]),
+                                        jnp.asarray(contact[k]))
+        np.testing.assert_allclose(vp_l[:, k], vp, rtol=0, atol=1e-9)
+        np.testing.assert_allclose(imp_l[:, k], imp, rtol=0, atol=1e-8)
+        dq, dv_ = rbda.impulse_dynamics_partials(
+            model, jnp.asarray(q[k]), jnp.asarray(v[k]),
+            jnp.asarray(contact[k]))
+        np.testing.assert_allclose(dq_l[:, :, k], dq, rtol=0, atol=1e-8)
+        np.testing.assert_allclose(dv_l[:, :, k], dv_, rtol=0, atol=1e-8)
