@@ -192,14 +192,17 @@ def _lane_batch(impl_flat):
     return op
 
 
-def make_wb_lane_batch_fns(cfg, urdf_path=None):
+def make_wb_lane_batch_fns(cfg, urdf_path=None, lane_chunk=None):
     """Batched WB-segment overrides {dyn_batch, dyn_partials_batch,
-    run_cost_batch, run_cost_partials_batch, term_cost_batch,
-    term_cost_partials_batch, term_con_batch, term_con_partials_batch}
-    for ProblemFns.  `cfg` is an MHPCConfig with weights resolved."""
+    reset_batch, reset_partial_batch, run_cost_batch,
+    run_cost_partials_batch, term_cost_batch, term_cost_partials_batch,
+    term_con_batch, term_con_partials_batch} for ProblemFns.  `cfg` is
+    an MHPCConfig with weights resolved.  lane_chunk overrides the
+    CAFEMPC_LANE_CHUNK default (2048; the 500-step cascade measures
+    best at 1024)."""
     from cafempc_tpu.models import wbm as _wbm
     lm = wl.load_lane_model(urdf_path or _wbm.DEFAULT_URDF)
-    lane_chunk = _lane_chunk_default()
+    lane_chunk = lane_chunk or _lane_chunk_default()
     wb_q = np.asarray(cfg.wb_q, float)
     wb_r = np.asarray(cfg.wb_r, float)
     wb_qf = np.asarray(cfg.wb_qf, float)

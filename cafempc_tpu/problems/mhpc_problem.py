@@ -461,7 +461,7 @@ def apply_transition_foot_handoff(plan_np, cfg: MHPCConfig, x_transition,
 
 
 def make_mhpc_fns(cfg: MHPCConfig, model=None, mode="joint",
-                  urdf=wbm.DEFAULT_URDF) -> ProblemFns:
+                  urdf=wbm.DEFAULT_URDF, lane_chunk=None) -> ProblemFns:
     """Problem functions for the cascade.
 
     mode="joint": every callable handles both models via a model_id
@@ -829,7 +829,8 @@ def make_mhpc_fns(cfg: MHPCConfig, model=None, mode="joint",
     if mode == "wb" and not use_ad \
             and os.environ.get("CAFEMPC_WB_LANE", "1") == "1":
         from cafempc_tpu.problems import mhpc_lane
-        batch_overrides = mhpc_lane.make_wb_lane_batch_fns(cfg, urdf)
+        batch_overrides = mhpc_lane.make_wb_lane_batch_fns(
+            cfg, urdf, lane_chunk=lane_chunk)
 
     return ProblemFns(
         dyn=dyn, dyn_partials=dyn_partials, reset=reset,
@@ -841,14 +842,16 @@ def make_mhpc_fns(cfg: MHPCConfig, model=None, mode="joint",
 
 
 def make_mhpc_fns_segmented(cfg: MHPCConfig, model=None,
-                            urdf=wbm.DEFAULT_URDF) -> SegmentedFns:
+                            urdf=wbm.DEFAULT_URDF,
+                            lane_chunk=None) -> SegmentedFns:
     """Two-segment problem functions for the cascade: WB steps
     [0, wb_block), SRB tail [wb_block, n_steps_max).  Requires the plan
     from build_mhpc_plan (carry-pad layout).  Eliminates the WB KKT
     dynamics/partials from SRB knots and vice versa — the dominant waste
     of the joint where-select fns."""
     cfg = _default_weights(cfg)
-    wb = make_mhpc_fns(cfg, model=model, mode="wb", urdf=urdf)
+    wb = make_mhpc_fns(cfg, model=model, mode="wb", urdf=urdf,
+                       lane_chunk=lane_chunk)
     tail = make_mhpc_fns(cfg, model=model, mode="srb", urdf=urdf)
     return SegmentedFns(
         counts=(cfg.wb_block, cfg.n_steps_max - cfg.wb_block),
