@@ -58,38 +58,44 @@ def pad_elements(elems, mult):
                  zip(elems, ident)), N
 
 
+def suffix_GH_local(e, axis, nP):
+    """The per-device body of the two-level suffix scan: `e` is this
+    device's contiguous block of LFT elements (5-tuple of [blk, ...]),
+    `axis` a mesh axis name bound by an ENCLOSING shard_map (composes
+    under vmap — the scenario batch stays a plain batch dim of the
+    collectives), nP the static axis size.  Returns this block's
+    (G [blk, xs], H [blk, xs, xs])."""
+    xs = e[0].shape[-1]
+    suf = jax.lax.associative_scan(lft_combine, e, reverse=True)
+    block = jax.tree.map(lambda a: a[:1], suf)     # local composite
+    blocks = jax.lax.all_gather(block, axis)       # [P, 1, ...]
+    idx = jax.lax.axis_index(axis)
+    # tail transform: composites of all LATER blocks, folded
+    # later-first so T_j = compose(block_j .. block_{P-1})
+    T = jax.tree.map(lambda a: a[0], _identity_elem(
+        xs, 1, e[0].dtype))
+    for j in reversed(range(nP)):
+        bj = jax.tree.map(lambda a: a[j, 0], blocks)
+        Tj = lft_combine(T, bj)
+        use = j > idx
+        T = jax.tree.map(
+            lambda new, old: jnp.where(use, new, old), Tj, T)
+    n_loc = e[0].shape[0]
+    Tb = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (n_loc,) + a.shape), T)
+    out = lft_combine(Tb, suf)
+    return out[3], out[4]
+
+
 def sharded_suffix_GH(elems, mesh, axis="knot"):
     """(G, H) at every knot from the suffix composition of LFT elements,
     knot axis sharded over `mesh[axis]`.  elems: 5-tuple of [NK, ...]
     arrays with NK divisible by the axis size.  Returns (G [NK, xs],
     H [NK, xs, xs]) sharded the same way."""
-    xs = elems[0].shape[-1]
     nP = mesh.shape[axis]
-
-    def local(e):
-        suf = jax.lax.associative_scan(lft_combine, e, reverse=True)
-        block = jax.tree.map(lambda a: a[:1], suf)     # local composite
-        blocks = jax.lax.all_gather(block, axis)       # [P, 1, ...]
-        idx = jax.lax.axis_index(axis)
-        # tail transform: composites of all LATER blocks, folded
-        # later-first so T_j = compose(block_j .. block_{P-1})
-        T = jax.tree.map(lambda a: a[0], _identity_elem(
-            xs, 1, e[0].dtype))
-        for j in reversed(range(nP)):
-            bj = jax.tree.map(lambda a: a[j, 0], blocks)
-            Tj = lft_combine(T, bj)
-            use = j > idx
-            T = jax.tree.map(
-                lambda new, old: jnp.where(use, new, old), Tj, T)
-        n_loc = e[0].shape[0]
-        Tb = jax.tree.map(
-            lambda a: jnp.broadcast_to(a, (n_loc,) + a.shape), T)
-        out = lft_combine(Tb, suf)
-        return out[3], out[4]
-
     spec = P(axis)
     return shard_map(
-        local, mesh=mesh,
+        lambda e: suffix_GH_local(e, axis, nP), mesh=mesh,
         in_specs=(tuple(spec for _ in elems),),
         out_specs=(spec, spec))(elems)
 

@@ -23,13 +23,25 @@ from cafempc_tpu.solver.hsddp import make_solver
 
 def make_batched_solver(fns, opts, *, all_shooting=True, mesh=None,
                         axis_name="scenario", trim_output=False,
-                        **solver_kwargs):
+                        knot_axis_name="knot", **solver_kwargs):
     """Returns solve_batch(plan, pen_b, x0_b, Xbar_b, Ubar_b).
 
     plan is shared (replicated) across scenarios; pen/x0/Xbar/Ubar carry a
     leading scenario axis.  If `mesh` is given, the batch axis is sharded
     over it with shard_map; otherwise plain vmap.
+
+    If `mesh` also has a `knot_axis_name` axis (scenario_knot_mesh), the
+    solver's backward Riccati sweep runs knot-sharded across it
+    (hsddp.make_solver knot_axis; parallel/knot_riccati.py): scenario DP
+    on one mesh axis x sequence-parallel sweep on the other.  Batch
+    inputs stay sharded over the scenario axis only (replicated across
+    the knot axis); every knot rank computes identical non-sweep stages.
     """
+    if mesh is not None and knot_axis_name in mesh.shape \
+            and mesh.shape[knot_axis_name] > 1:
+        solver_kwargs = dict(solver_kwargs,
+                             knot_axis=knot_axis_name,
+                             knot_shards=int(mesh.shape[knot_axis_name]))
     solve = make_solver(fns, opts, all_shooting=all_shooting,
                         trim_output=trim_output, **solver_kwargs)
     vsolve = jax.vmap(solve, in_axes=(None, 0, 0, 0, 0))
@@ -46,6 +58,19 @@ def make_batched_solver(fns, opts, *, all_shooting=True, mesh=None,
         return vsolve(plan, pen_b, x0_b, Xbar_b, Ubar_b)
 
     return jax.jit(sharded)
+
+
+def scenario_knot_mesh(n_scenario, n_knot, axis_name="scenario",
+                       knot_axis_name="knot"):
+    """2D (scenario, knot) mesh: scenario data-parallel solves with the
+    backward sweep knot-sharded along the second axis."""
+    import numpy as np
+    devs = jax.devices()
+    need = n_scenario * n_knot
+    if len(devs) < need:
+        raise ValueError(f"need {need} devices, have {len(devs)}")
+    return Mesh(np.array(devs[:need]).reshape(n_scenario, n_knot),
+                (axis_name, knot_axis_name))
 
 
 def scenario_mesh(n_devices=None, axis_name="scenario"):

@@ -40,7 +40,12 @@ N_TCON = 4
 def _lane_chunk_default():
     """Default bounds the q-tangent FK temporaries ([18, 13, 3, 18, K]
     f32 ~ 100 MB at K=2048) so the B=256 production batch and the
-    500-step cascade both fit the 16G v5e HBM with headroom."""
+    500-step cascade both fit the 16G v5e HBM with headroom.
+
+    2048 is the measured optimum at the production horizon (mhpc 858.9
+    solves/s r4); the 500-step cascade500 bench config measures best at
+    1024 (96.9 vs 90.5) and passes lane_chunk=1024 explicitly
+    (bench.py build_cascade500) — one knob, two per-horizon settings."""
     return int(os.environ.get("CAFEMPC_LANE_CHUNK", "2048")) or None
 
 

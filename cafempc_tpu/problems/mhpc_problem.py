@@ -476,6 +476,7 @@ def make_mhpc_fns(cfg: MHPCConfig, model=None, mode="joint",
     scenario x knot axis lane-minor — disable with CAFEMPC_WB_LANE=0.
     `urdf` selects the robot (must match `model` when both are given).
     """
+    model_given = model is not None
     if model is None and mode != "srb":
         model = wbm.load_model(urdf)
     cfg = _default_weights(cfg)
@@ -828,6 +829,28 @@ def make_mhpc_fns(cfg: MHPCConfig, model=None, mode="joint",
     batch_overrides = {}
     if mode == "wb" and not use_ad \
             and os.environ.get("CAFEMPC_WB_LANE", "1") == "1":
+        # The lane overrides are rebuilt from `urdf`; if the caller
+        # passed a `model` that does not match it, the LQ/reset path
+        # would silently use different dynamics than the rollout
+        # (ADVICE r4, medium).  Verify numeric identity and refuse
+        # otherwise (pass the matching urdf= to use another robot).
+        if model_given and model is not wbm.load_model(urdf):
+            ref_model = wbm.load_model(urdf)
+            try:
+                same = all(
+                    np.allclose(np.asarray(a), np.asarray(b))
+                    for a, b in zip(jax.tree.leaves(model),
+                                    jax.tree.leaves(ref_model),
+                                    strict=True))
+            except ValueError:
+                same = False
+            if not same:
+                raise ValueError(
+                    "make_mhpc_fns: `model` does not match `urdf` "
+                    f"({urdf!r}); the lane-form batch overrides are "
+                    "built from the URDF and would diverge from the "
+                    "rollout dynamics.  Pass the matching urdf= (or "
+                    "set CAFEMPC_WB_LANE=0 to disable the lane path).")
         from cafempc_tpu.problems import mhpc_lane
         batch_overrides = mhpc_lane.make_wb_lane_batch_fns(
             cfg, urdf, lane_chunk=lane_chunk)

@@ -259,7 +259,7 @@ def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
                 parallel_line_search=True, fused_riccati=False,
                 fused_linroll=None, max_resets=None, iter_callback=None,
                 reg_floor=0.0, fused_forward=None, fused_lq=None,
-                lq_knot_chunk=None):
+                lq_knot_chunk=None, knot_axis=None, knot_shards=1):
     """Build the jit-ready ``solve(plan, pen, x0, Xbar0, Ubar0)`` function.
 
     fns: a ProblemFns, or a SegmentedFns for cascaded plans with a static
@@ -309,7 +309,21 @@ def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
     reg_floor=opts.reg_min_init reproduces those solves exactly (the
     retry lands on the same reg) at half the sweep cost.  Default 0.0 =
     reference-faithful schedule.
+    knot_axis / knot_shards: when knot_axis is a mesh axis name bound by
+    an ENCLOSING shard_map (parallel/mesh.make_batched_solver's
+    knot_shards option builds the ("scenario", "knot") mesh), the
+    backward Riccati sweep runs KNOT-SHARDED across that axis: each
+    device scans its contiguous block of the horizon and one
+    all_gather of per-block composites completes the suffix composition
+    (parallel/knot_riccati.py) — the sequence-parallel counterpart of
+    the reference's sequential SinglePhase::backward_sweep
+    (SinglePhase.cpp:323-391).  knot_shards must equal the static mesh
+    axis size.  Outputs are bit-identical in structure to the
+    associative-scan sweep (pinned in tests/test_knot_riccati.py).
     """
+    if knot_axis is not None and knot_shards < 2:
+        raise ValueError("knot_axis requires knot_shards >= 2 (the "
+                         "static size of the mesh axis)")
     if fused_forward is not None and (parallel_line_search
                                       or not (all_shooting and opts.MS)):
         raise ValueError("fused_forward requires the sequential line "
@@ -338,6 +352,10 @@ def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
 
         def run(*args):
             leaves = jax.tree.leaves(args)
+            if any(getattr(a, "ndim", 0) == 0 for a in leaves):
+                raise ValueError(
+                    "_chunked_vmap: scalar (0-d) leaves have no leading "
+                    "knot axis to chunk over")
             N = leaves[0].shape[0]
             bad = [a.shape for a in leaves if a.shape[0] != N]
             if bad:
@@ -694,11 +712,12 @@ def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
             tr.lux, tr.lyy, tr.phix, tr.phixx, tr.Defect, w, reg)
         _, _, _, eta_s, J_s = jax.lax.associative_scan(
             lft_combine, elems, reverse=True)
-        G = eta_s
-        H = J_s
+        return _gains_from_GH(tr, eta_s, J_s, lu, luu, lux, w, I_u)
 
-        # knot-parallel Q-expansion / gains from (G, H) (the same formulas
-        # as the sequential sweep, SinglePhase.cpp:334-386)
+    def _gains_from_GH(tr, G, H, lu, luu, lux, w, I_u):
+        """Knot-parallel Q-expansion / gains from (G, H) (the same
+        formulas as the sequential sweep, SinglePhase.cpp:334-386);
+        shared by the associative-scan and knot-sharded sweeps."""
         Gn = G[1:] + jnp.einsum("kij,kj->ki", H[1:], tr.Defect[1:])
         Qu = lu + jnp.einsum("kji,kj->ki", tr.B, Gn)
         Quu = luu + jnp.einsum("kji,kjl,klm->kim", tr.B, H[1:], tr.B)
@@ -726,6 +745,43 @@ def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
         G = G.at[0].add(H[0] @ tr.Defect[0])
         tr = tr._replace(G=G, H=H, K=K, dU=dU, Qu=Qu, Quu=Quu, Qux=Qux)
         return tr, dV1, dV2, ok
+
+    def backward_sweep_knot(plan, tr: TrajState, reg):
+        """Knot-sharded (sequence-parallel) Riccati sweep over the mesh
+        axis `knot_axis` — the distributed counterpart of the
+        reference's strictly sequential SinglePhase::backward_sweep
+        (HSDDPSolver/source/SinglePhase.cpp:323-391; SURVEY section 2.7
+        "sequential -> parallel-in-time").
+
+        Same LFT-element math as backward_sweep_parallel, but the
+        suffix composition runs as a two-level scan: each device scans
+        its contiguous block of knots, one all_gather of per-block
+        composites rides the knot axis, every device folds the later
+        blocks' composites into a tail transform
+        (parallel/knot_riccati.py).  The [N]-replicated inputs/outputs
+        of the rest of the solver are preserved by slicing the local
+        block via axis_index and re-gathering (tiled) at the end, so
+        the sweep composes with the scenario vmap/shard_map unchanged.
+        """
+        from cafempc_tpu.parallel.knot_riccati import (pad_elements,
+                                                       suffix_GH_local)
+        sd = plan.step
+        us = tr.Ubar.shape[-1]
+        I_u = jnp.eye(us, dtype=tr.Xbar.dtype)
+        w = ((sd.is_reset > 0) | (sd.active == 0))
+
+        elems, (lx, lu, lxx, luu, lux) = riccati_lft_elements(
+            tr.A, tr.B, tr.C, tr.D, tr.lx, tr.lu, tr.ly, tr.lxx, tr.luu,
+            tr.lux, tr.lyy, tr.phix, tr.phixx, tr.Defect, w, reg)
+        elems_p, N1 = pad_elements(elems, knot_shards)
+        blk = elems_p[0].shape[0] // knot_shards
+        idx = jax.lax.axis_index(knot_axis)
+        local = tuple(jax.lax.dynamic_slice_in_dim(e, idx * blk, blk)
+                      for e in elems_p)
+        Gl, Hl = suffix_GH_local(local, knot_axis, knot_shards)
+        G = jax.lax.all_gather(Gl, knot_axis, tiled=True)[:N1]
+        H = jax.lax.all_gather(Hl, knot_axis, tiled=True)[:N1]
+        return _gains_from_GH(tr, G, H, lu, luu, lux, w, I_u)
 
     def backward_sweep_fused(plan, tr: TrajState, reg):
         """Backward sweep via the fused lane-batched Pallas kernel
@@ -761,7 +817,8 @@ def make_solver(fns, opts: SolverOptions, *, all_shooting=True,
         tr = tr._replace(G=G, H=H, K=K, dU=dU, Qu=Qu, Quu=Quu, Qux=Qux)
         return tr, dv[0], dv[1], ok
 
-    sweep_fn = (backward_sweep_fused if fused_riccati
+    sweep_fn = (backward_sweep_knot if knot_axis is not None
+                else backward_sweep_fused if fused_riccati
                 else backward_sweep_parallel if parallel_riccati
                 else backward_sweep)
 

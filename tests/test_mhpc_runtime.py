@@ -22,25 +22,36 @@ REF = "/root/reference"
 
 
 def _warm_start_scan(rt, plan_np, Xbar0, Ubar0):
-    """The former O(N^2) per-knot candidate scan, kept verbatim as the
-    semantics oracle for the vectorized _warm_start."""
+    """Per-knot candidate scan, kept as the semantics oracle for the
+    vectorized _warm_start: time + model match, preferring a source with
+    the SAME is_terminal flag (keeps pre-/post-reset states on their own
+    side of duplicated phase-boundary times), time-only fallback."""
     dt_mpc = rt.cfg.dt_mpc
     old_t = np.asarray(rt.plan_np.knot.t) + (rt.mpc_time - dt_mpc)
     old_active = np.asarray(rt.plan_np.knot.active) > 0
     old_model = np.asarray(rt.plan_np.knot.model_id)
+    old_term = np.asarray(rt.plan_np.knot.is_terminal) > 0
     new_t = np.asarray(plan_np.knot.t) + rt.mpc_time
     new_active = np.asarray(plan_np.knot.active) > 0
     new_model = np.asarray(plan_np.knot.model_id)
+    new_term = np.asarray(plan_np.knot.is_terminal) > 0
     oXb = np.asarray(rt.state.traj.Xbar)
     oUb = np.asarray(rt.state.traj.Ubar)
     Xb, Ub = Xbar0.copy(), Ubar0.copy()
     for j in np.where(new_active)[0]:
-        cand = np.where(old_active
-                        & (np.abs(old_t - new_t[j]) < 1e-6)
-                        & (old_model == new_model[j]))[0]
+        base = (old_active
+                & (np.abs(old_t - new_t[j]) < 1e-6)
+                & (old_model == new_model[j]))
+        cand = np.where(base & (old_term == new_term[j]))[0]
+        if not len(cand):
+            # fallback requires an equal contact tuple (window edges)
+            oc = np.asarray(rt.plan_np.knot.contact) > 0.5
+            nc = np.asarray(plan_np.knot.contact)[j] > 0.5
+            cand = np.where(base & np.all(oc == nc, axis=1))[0]
         if len(cand):
             Xb[j] = oXb[cand[-1]]
-            if j < len(Ub) and cand[-1] < len(oUb):
+            if j < len(Ub) and cand[-1] < len(oUb) and not new_term[j] \
+                    and not old_term[cand[-1]]:
                 Ub[j] = oUb[cand[-1]]
     return Xb, Ub
 

@@ -174,6 +174,36 @@ def make_propagator(model, bg_alpha, plan_np, dt_mpc):
     return prop
 
 
+def _warm_perm(wmap, n_knots, n_steps):
+    """(src, dst) index mapping -> fixed-shape permutation + mask pair
+    for Xbar ([N+1]) and Ubar ([N]): permX[j] = matched old knot (or j),
+    maskX[j] = matched.  Fixed shapes mean ONE jitted warm-start/
+    propagate/solve program serves every chain step (a per-step scatter
+    of varying length would recompile per step through the remote
+    compiler)."""
+    src, dst = wmap
+    permX = np.arange(n_knots)
+    maskX = np.zeros(n_knots, bool)
+    permX[dst] = src
+    maskX[dst] = True
+    permU = np.arange(n_steps)
+    maskU = np.zeros(n_steps, bool)
+    um = (dst < n_steps) & (src < n_steps)
+    permU[dst[um]] = src[um]
+    maskU[dst[um]] = True
+    return (jnp.asarray(permX), jnp.asarray(maskX),
+            jnp.asarray(permU), jnp.asarray(maskU))
+
+
+@jax.jit
+def _apply_warm(Xb0_b, Ub0_b, prevX, prevU, permX, maskX, permU, maskU):
+    """Device-side warm start: gather the previous solution's knots onto
+    the new plan through the precomputed permutation (no host sync)."""
+    Xb = jnp.where(maskX[None, :, None], prevX[:, permX], Xb0_b)
+    Ub = jnp.where(maskU[None, :, None], prevU[:, permU], Ub0_b)
+    return Xb, Ub
+
+
 def run_case_chain(solve_b, mesh, chain_steps, n_total, chunk, rng,
                    dtype, propagators, seen_bs=None, push_sigma=0.25,
                    noise_sigma=0.02):
@@ -182,6 +212,16 @@ def run_case_chain(solve_b, mesh, chain_steps, n_total, chunk, rng,
     controls (plant = own WB dynamics) and re-solve the advanced plan
     warm-started from the previous solution (VERDICT r3 item 4 — quality
     evidence at converged-MPC warm-start levels, not one-shot survival).
+
+    PIPELINED (VERDICT r4 #7): the warm-start knot mapping is applied ON
+    DEVICE (_apply_warm permutation gather), so the whole chain — warm
+    start, plant propagation, re-solve — dispatches asynchronously with
+    no host round-trip between steps, and successive chunks dispatch
+    back-to-back.  The host only materializes per-step telemetry handles
+    (success/cost/feas/iter counters) after everything is enqueued; the
+    round-3/4 version synced the full solution to host between EVERY
+    chain step, which is why the sweep ran 25x below bench throughput
+    (SWEEP_r04.json notes).
 
     chain_steps: [(plan_dev, pen, x0, Xbar0, Ubar0, warm_map)], warm_map
     the (src, dst) knot mapping from the PREVIOUS step's plan.
@@ -206,50 +246,78 @@ def run_case_chain(solve_b, mesh, chain_steps, n_total, chunk, rng,
     n_scen = max(-(-n_total // chain), 1)
     n_scen = -(-n_scen // chunk) * chunk
     x0_c = chain_steps[0][2]
-    while done < n_scen:
-        B = chunk
-        timed_chunk = B in seen_bs
-        seen_bs.add(B)
+
+    # per-step device constants, built once per case (not per chunk)
+    n_knots = chain_steps[0][3].shape[0]
+    n_steps_u = chain_steps[0][4].shape[0]
+    step_const = []
+    for i, (plan, pen, x0_i, Xbar0, Ubar0, wmap) in enumerate(chain_steps):
+        plan_in = replicate(plan, mesh) if mesh is not None else plan
+        Xb0 = jnp.asarray(Xbar0, dtype)
+        Ub0 = jnp.asarray(Ubar0, dtype)
+        perms = _warm_perm(wmap, n_knots, n_steps_u) if wmap is not None \
+            else None
+        step_const.append((plan_in, pen, Xb0, Ub0, perms))
+
+    def dispatch_chunk(B):
+        """Enqueue one chunk's whole chain; returns telemetry handles
+        (device arrays — NOT materialized here)."""
         x0_b = np.tile(x0_c, (B, 1))
         x0_b += rng.normal(0, noise_sigma, x0_b.shape)
         x0_b[:, 18:21] += rng.normal(0, push_sigma, (B, 3))
         x_b = jnp.asarray(x0_b, dtype)
         prev = None
-        t0 = time.perf_counter()
-        for i, (plan, pen, x0_i, Xbar0, Ubar0, wmap) in \
-                enumerate(chain_steps):
+        handles = []
+        for i, (plan_in, pen, Xb0, Ub0, perms) in enumerate(step_const):
             pen_b = jax.tree.map(
                 lambda a: jnp.broadcast_to(a, (B,) + a.shape), pen)
-            Xb_b = np.tile(np.asarray(Xbar0, np.float32), (B, 1, 1))
-            Ub_b = np.tile(np.asarray(Ubar0, np.float32), (B, 1, 1))
-            if prev is not None and wmap is not None:
-                src, dst = wmap
-                pXb = np.asarray(prev.Xbar)
-                pUb = np.asarray(prev.Ubar)
-                Xb_b[:, dst] = pXb[:, src]
-                um = (dst < Ub_b.shape[1]) & (src < pUb.shape[1])
-                Ub_b[:, dst[um]] = pUb[:, src[um]]
-                x_b = propagators[i - 1](x_b, jnp.asarray(pUb, dtype))
-            batch = (pen_b, x_b.astype(dtype), jnp.asarray(Xb_b, dtype),
-                     jnp.asarray(Ub_b, dtype))
-            plan_in = plan
+            Xb_b = jnp.broadcast_to(Xb0, (B,) + Xb0.shape)
+            Ub_b = jnp.broadcast_to(Ub0, (B,) + Ub0.shape)
+            if prev is not None and perms is not None:
+                Xb_b, Ub_b = _apply_warm(Xb_b, Ub_b, prev.Xbar,
+                                         prev.Ubar, *perms)
+                x_b = propagators[i - 1](x_b, prev.Ubar)
+            batch = (pen_b, x_b.astype(dtype), Xb_b, Ub_b)
             if mesh is not None:
                 batch = shard_batch(batch, mesh)
-                plan_in = replicate(plan, mesh)
             s = solve_b(plan_in, *batch)
-            prev = jax.block_until_ready(s)
-            n_ok += int(jnp.sum(s.success))
-            infos.append({k: np.asarray(getattr(s.info, k))
-                          for k in ("iters", "ls_iters", "reg_iters")})
-            feas_steps[i].append(np.asarray(s.feas, dtype=float))
+            prev = s
+            handles.append((s.success, s.cost, s.feas,
+                            {k: getattr(s.info, k)
+                             for k in ("iters", "ls_iters", "reg_iters")}))
+        return handles
+
+    def collect(handles):
+        nonlocal n_ok
+        for i, (succ, cost, feas, info) in enumerate(handles):
+            n_ok += int(np.asarray(succ).sum())
+            infos.append({k: np.asarray(v) for k, v in info.items()})
+            feas_steps[i].append(np.asarray(feas, dtype=float))
             if i == chain - 1:
-                costs.append(np.asarray(s.cost, dtype=float))
-                feas_final.append(np.asarray(s.feas, dtype=float))
-        dt = time.perf_counter() - t0
-        if timed_chunk:                   # first-seen shapes compile
-            t_g += dt
-            timed += B * chain
+                costs.append(np.asarray(cost, dtype=float))
+                feas_final.append(np.asarray(feas, dtype=float))
+
+    B = chunk
+    if B not in seen_bs:
+        # warmup chunk: pays compile, fully collected, excluded from the
+        # timed window
+        seen_bs.add(B)
+        collect(dispatch_chunk(B))
         done += B
+    # timed window: dispatch every remaining chunk back-to-back, then
+    # materialize — the interval ends at host materialization of every
+    # telemetry scalar, so it provably contains all device execution
+    t0 = time.perf_counter()
+    pending = []
+    while done < n_scen:
+        pending.append(dispatch_chunk(B))
+        done += B
+    for h in pending:
+        collect(h)
+    dt = time.perf_counter() - t0
+    if pending:
+        t_g += dt
+        timed += len(pending) * B * chain
     cost_all = np.concatenate(costs)
     feas_all = np.concatenate(feas_final)
     r = dict(
