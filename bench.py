@@ -246,6 +246,65 @@ class BenchInvalid(RuntimeError):
     """A measurement failed self-validation; nothing was printed."""
 
 
+def _export_path(config):
+    """Pre-serialized (jax.export) program for this config/platform/jax
+    version.  Python TRACING of the cascade500 solver costs ~13 min on
+    this 2-core host (measured: build 16 s, trace+lower 777 s, compile
+    cached) — far beyond any driver timeout.  Deserializing the
+    committed StableHLO skips tracing entirely; the persistent compile
+    cache then covers the XLA compile."""
+    plat = jax.devices()[0].platform
+    return os.path.join(_cache, "exported",
+                        f"{config}_{plat}_jax{jax.__version__}.bin")
+
+
+def _register_export_types():
+    """jax.export (de)serialization needs every NamedTuple pytree in the
+    solve signature registered by a stable name."""
+    from jax import export as jexport
+    from cafempc_tpu.solver.plan import (KnotData, KnotPlan,
+                                         PenaltyParams, StepData)
+    from cafempc_tpu.solver.hsddp import SolveResult, SolverInfo
+    for cls in (StepData, KnotData, KnotPlan, PenaltyParams,
+                SolveResult, SolverInfo):
+        try:
+            jexport.register_namedtuple_serialization(
+                cls, serialized_name=f"cafempc_tpu.{cls.__name__}")
+        except ValueError:
+            pass  # already registered
+
+
+def _try_load_export(config):
+    ep = _export_path(config)
+    if os.environ.get("BENCH_NO_EXPORT") or not os.path.exists(ep):
+        return None
+    try:
+        _register_export_types()
+        from jax import export as jexport
+        with open(ep, "rb") as fh:
+            exp = jexport.deserialize(fh.read())
+        return jax.jit(exp.call)
+    except Exception as e:
+        print(f"bench: export load failed for {config!r} ({e!r}); "
+              f"falling back to tracing", file=sys.stderr, flush=True)
+        return None
+
+
+def _save_export(config, solve_b, args):
+    """Builder-side priming (BENCH_EXPORT=1): re-trace through
+    jax.export and commit the serialized program."""
+    _register_export_types()
+    from jax import export as jexport
+    ep = _export_path(config)
+    os.makedirs(os.path.dirname(ep), exist_ok=True)
+    exp = jexport.export(solve_b)(*args)
+    data = exp.serialize()
+    with open(ep, "wb") as fh:
+        fh.write(data)
+    print(f"bench: exported {config!r} -> {ep} "
+          f"({len(data)/1e6:.1f} MB)", file=sys.stderr, flush=True)
+
+
 def _fetch_scalars(s):
     """Materialize per-scenario cost/success on the HOST.  A device->host
     copy cannot complete before the solve has actually executed, unlike
@@ -267,6 +326,11 @@ def run_one(config, iters):
     solve_b, plan, pen_b, x0_b, Xb_b, Ub_b, metric = \
         build_bench_setup(config=config)
     B = x0_b.shape[0]
+    exported = _try_load_export(config)
+    traced_solve = solve_b
+    if exported is not None:
+        solve_b = exported
+    t_built = time.perf_counter()
 
     # warmup / compile — validated too, so a broken solve fails loudly
     # here instead of poisoning the timed loop
@@ -314,10 +378,15 @@ def run_one(config, iters):
         "elapsed_s": round(dt_total, 3),
         "iters": iters,
         "batch": B,
-        "setup_s": round(t_warm - t_setup, 1),
+        "build_s": round(t_built - t_setup, 1),
+        "warmup_s": round(t_warm - t_built, 1),
+        "exported": exported is not None,
         "ok": True,
     })
     print(line, flush=True)
+    if os.environ.get("BENCH_EXPORT") and exported is None:
+        _save_export(config, traced_solve,
+                     (plan, pen_b, x0_b, Xb_b, Ub_b))
     return line
 
 

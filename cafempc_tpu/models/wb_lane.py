@@ -30,6 +30,7 @@ stay one-op-per-primal-op with a leading direction axis — temps are
 Parity vs the rbda path is pinned in tests/test_wb_lane.py (f64).
 """
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -360,8 +361,282 @@ def foot_drift_lane(m: WBLaneModel, q, v):
 
 
 # ------------------------------------------------------------------
-# contact KKT + factored derivatives
+# closed-form FK directional derivatives (ancestor cross-product rules)
 # ------------------------------------------------------------------
+#
+# Every world-frame FK quantity has an exact first derivative in q:
+#
+#   d aw_i / dq_j  = anc(i,j) rev_j (aw_j x aw_i)
+#   d pt   / dq_j  = anc(body(pt),j) [rev_j aw_j x (pt - p_j)
+#                                     + (1-rev_j) aw_j]      (any point)
+#   d Iw_b / dq_j  = anc(b,j) rev_j ([aw_j]x Iw_b - Iw_b [aw_j]x)
+#   d Jcol(pt,l)/dq_j = anc(body(pt),l) { rev_l [ daw[j,l] x (pt - p_l)
+#                         + aw_l x (dpt[j] - dp[j,l]) ]
+#                         + (1-rev_l) daw[j,l] }             (product rule)
+#
+# (full ancestor masks: the j = i diagonal terms vanish identically for
+# revolute joints via a x a = 0 and are correct for prismatic ones).
+# These replace the 18-direction batched jvp through the KKT residual
+# (PERF.md roadmap #2): the tangent work becomes flat masked
+# cross-products over (dirs x bodies) instead of 18 re-traversals of the
+# sequential FK tree, and ALL time-derivatives — including the mixed
+# second derivatives d/dt(dJ/dq_j) the bias-force tangents need — come
+# from ONE jvp of this bundle along v (mixed partials commute).
+# Reference correspondence: WBM.cpp:459-543 (the analytical derivative
+# assembly these rules feed) and Pinocchio's RNEA-derivative structure.
+
+
+class _CFBundle(NamedTuple):
+    """Primal FK quantities + their [18, ...] q-derivative stacks."""
+    p: jnp.ndarray        # [nd, 3, K] joint origins
+    aw: jnp.ndarray       # [nd, 3, K] world joint axes
+    pts: jnp.ndarray      # [nf, 3, K] foot points
+    com: jnp.ndarray      # [nb, 3, K]
+    Iw: jnp.ndarray       # [nb, 3, 3, K]
+    Jw: jnp.ndarray       # [nb, 3, nd, K]
+    Jv: jnp.ndarray       # [nb, 3, nd, K]
+    J: jnp.ndarray        # [nf, 3, nd, K] foot point Jacobians
+    daw: jnp.ndarray      # [nd(j), nd, 3, K]
+    dp: jnp.ndarray       # [nd(j), nd, 3, K]
+    dpts: jnp.ndarray     # [nd(j), nf, 3, K]
+    dcom: jnp.ndarray     # [nd(j), nb, 3, K]
+    dIw: jnp.ndarray      # [nd(j), nb, 3, 3, K]
+    dJw: jnp.ndarray      # [nd(j), nb, 3, nd, K]
+    dJv: jnp.ndarray      # [nd(j), nb, 3, nd, K]
+    dJ: jnp.ndarray       # [nd(j), nf, 3, nd, K]
+
+
+def _dpoint(aw, pts, p, anc_pts, rev):
+    """d pt / dq_j for points pts [np_,3,K] with ancestor mask
+    anc_pts [np_, nd].  Returns [nd(j), np_, 3, K]."""
+    dtype = pts.dtype
+    d = pts[None, :, :, :] - p[:, None, :, :]          # [j, np_, 3, K]
+    cr = lanecross(jnp.broadcast_to(aw[:, None], d.shape), d)
+    out = jnp.asarray(rev[:, None, None, None], dtype) * cr \
+        + jnp.asarray((1.0 - rev)[:, None, None, None], dtype) \
+        * aw[:, None, :, :]
+    return out * jnp.asarray(anc_pts.T[:, :, None, None], dtype)
+
+
+def _dpoint_jac(m, aw, daw, dp, pts, dpts, p, anc_pts, rev):
+    """d Jcol(pt, l) / dq_j: [nd(j), np_, 3, nd(l), K] via the product
+    rule on the primal point-Jacobian formula."""
+    dtype = pts.dtype
+    nd = m.nd
+    # rev_l [ daw[j,l] x (pt - p_l) + aw_l x (dpt[j] - dp[j,l]) ]
+    d_pl = pts[None, None] - p[None, :, None]          # [1, l, np_, 3, K]
+    daw_jl = daw[:, :, None, :, :]                     # [j, l, 1, 3, K]
+    t1 = lanecross(jnp.broadcast_to(daw_jl,
+                                    daw_jl.shape[:2] + d_pl.shape[2:]),
+                   jnp.broadcast_to(d_pl, daw_jl.shape[:2]
+                                    + d_pl.shape[2:]))
+    dd = dpts[:, None, :, :, :] - dp[:, :, None, :, :]  # [j, l, np_, 3, K]
+    aw_l = jnp.broadcast_to(aw[None, :, None, :, :], dd.shape)
+    t2 = lanecross(aw_l, dd)
+    out = jnp.asarray(rev[None, :, None, None, None], dtype) * (t1 + t2) \
+        + jnp.asarray((1.0 - rev)[None, :, None, None, None], dtype) \
+        * daw_jl
+    out = out * jnp.asarray(anc_pts.T[None, :, :, None, None], dtype)
+    # [j, l, np_, 3, K] -> [j, np_, 3, l, K]
+    return jnp.transpose(out, (0, 2, 3, 1, 4))
+
+
+def cf_bundle(m: WBLaneModel, q) -> _CFBundle:
+    """Primal FK + closed-form first-derivative stacks, lane form."""
+    dtype = q.dtype
+    nd = m.nd
+    R, p, aw = fk_lane(m, q)
+    pts = foot_points_lane(m, R, p)
+    com_w, Jw, Jv, Iw = _body_jacobians_lane(m, R, p, aw)
+    J = _point_jacobians_lane(m, p, aw, pts, list(m.frame_dof))
+    rev = _rev_mask(m)
+    anc = np.asarray(m.ancestors, float)               # [i, j]
+    anc_f = np.asarray(m.ancestors[np.asarray(m.frame_dof)], float)
+    anc_b = np.asarray(m.ancestors[m.mb_idx], float)
+
+    # daw[j, i] = anc(i,j) rev_j (aw_j x aw_i)
+    cr = lanecross(jnp.broadcast_to(aw[:, None], (nd, nd, 3, q.shape[-1])),
+                   jnp.broadcast_to(aw[None, :], (nd, nd, 3, q.shape[-1])))
+    daw = cr * jnp.asarray((rev[:, None] * anc.T)[:, :, None, None],
+                           dtype)
+    dp = _dpoint(aw, p, p, anc, rev)
+    dpts = _dpoint(aw, pts, p, anc_f, rev)
+    dcom = _dpoint(aw, com_w, p, anc_b, rev)
+
+    # dIw[j, b] = anc(b,j) rev_j ( [aw_j]x Iw_b - Iw_b [aw_j]x );
+    # with Iw symmetric, [a]x Iw - Iw [a]x = axI + axI^T where
+    # axI = [a]x Iw (cross each column)
+    K = q.shape[-1]
+    nb = Iw.shape[0]
+    Iw_cols = jnp.broadcast_to(jnp.swapaxes(Iw[None], -3, -2),
+                               (nd, nb, 3, 3, K))      # [j, b, c, r, K]
+    a_bc = jnp.broadcast_to(aw[:, None, None, :, :], (nd, nb, 3, 3, K))
+    axI = jnp.swapaxes(lanecross(a_bc, Iw_cols), -3, -2)
+    mask_jb = jnp.asarray((rev[:, None] * anc_b.T)[:, :, None, None,
+                                                   None], dtype)
+    dIw = (axI + jnp.swapaxes(axI, -3, -2)) * mask_jb
+
+    # dJw[j, b, :, l] = anc(b,l) rev_l daw[j, l]
+    wmask = jnp.asarray((anc_b * rev[None, :])[None, :, None, :, None],
+                        dtype)
+    dJw = jnp.transpose(daw, (0, 2, 1, 3))[:, None, :, :, :] * wmask
+    dJv = _dpoint_jac(m, aw, daw, dp, com_w, dcom, p, anc_b, rev)
+    dJ = _dpoint_jac(m, aw, daw, dp, pts, dpts, p, anc_f, rev)
+    return _CFBundle(p, aw, pts, com_w, Iw, Jw, Jv, J,
+                     daw, dp, dpts, dcom, dIw, dJw, dJv, dJ)
+
+# --- bundle-contraction helpers (dirs axis j leading) --------------
+
+def _dmv(dT, x):
+    """[j, b, 3, nd, K] applied to x [nd, K] -> [j, b, 3, K]."""
+    return (dT * x[None, None, None, :, :]).sum(-2)
+
+
+def _dmtv_b(dT, y):
+    """[j, b, 3, nd, K] transpose-applied to y [b, 3, K], summed over
+    bodies -> [j, nd, K]."""
+    return (dT * y[None, :, :, None, :]).sum((1, 2))
+
+
+def _wtv(W, y):
+    """[b, 3, nd, K] transpose-applied to y [j, b, 3, K], summed over
+    bodies -> [j, nd, K]."""
+    return (W[None] * y[:, :, :, None, :]).sum((1, 2))
+
+
+def _mass_from_bundle(m, cf):
+    """M(q) from the CF bundle (mass_matrix_lane without re-running
+    FK)."""
+    M = jnp.zeros((m.nd, m.nd, cf.p.shape[-1]), cf.p.dtype)
+    for b in range(len(m.mb_idx)):
+        IwJw = lanedot(cf.Iw[b], cf.Jw[b])
+        M = M + (cf.Jw[b][:, :, None, :] * IwJw[:, None, :, :]).sum(0)
+        M = M + float(m.mass[m.mb_idx[b]]) \
+            * (cf.Jv[b][:, :, None, :] * cf.Jv[b][:, None, :, :]).sum(0)
+    return M
+
+
+def _mv_from_bundle(m, cf, v):
+    """M(q) v per-body from the CF bundle (Mv_lane without re-running
+    FK)."""
+    dtype = cf.p.dtype
+    mw = jnp.asarray(np.asarray(m.mass[m.mb_idx])[:, None, None], dtype)
+    wb = lanemv(cf.Jw, v)
+    vb = lanemv(cf.Jv, v)
+    Lb = lanemv(cf.Iw, wb)
+    r = (cf.Jw * Lb[:, :, None, :]).sum((0, 1))
+    return r + (mw[..., None] * cf.Jv * vb[:, :, None, :]).sum((0, 1))
+
+
+def _cf_dMv(m, cf, u):
+    """d/dq_j [M(q) u] for constant u, per-body contraction on the CF
+    bundle (the full dM/dq never exists).  Returns [j, nd, K]."""
+    dtype = cf.p.dtype
+    mw = jnp.asarray(np.asarray(m.mass[m.mb_idx])[:, None, None], dtype)
+    wu = lanemv(cf.Jw, u)
+    Lu = lanemv(cf.Iw, wu)
+    vu = lanemv(cf.Jv, u)
+    return (_dmtv_b(cf.dJw, Lu)
+            + _wtv(cf.Jw, lanemv(cf.dIw, wu[None])
+                   + lanemv(cf.Iw[None], _dmv(cf.dJw, u)))
+            + _dmtv_b(cf.dJv, mw * vu)
+            + _wtv(cf.Jv, mw[None] * _dmv(cf.dJv, u)))
+
+
+def _cf_primal(m, cf, td, v, bg_alpha):
+    """Primal KKT pieces from the CF bundle + its v-jvp: (M, h,
+    J [12,nd,K], Jdot [12,nd,K], gamma_raw [12,K]).  h is assembled
+    exactly as bias_force_lane (Jacobian-transpose Newton-Euler with
+    qdd = 0): h = sum_b m_b Jv^T a_b + Jw^T (Iwdot w_b + Iw wdot_b) + g."""
+    dtype = cf.p.dtype
+    nd = m.nd
+    K = cf.p.shape[-1]
+    mass = np.asarray(m.mass[m.mb_idx])
+    mw = jnp.asarray(mass[:, None, None], dtype)        # [b, 1, 1]
+    J = cf.J.reshape(12, nd, K)
+    Jdot = td.J.reshape(12, nd, K)
+    w_b = lanemv(cf.Jw, v)                              # [b, 3, K]
+    wdot = lanemv(td.Jw, v)
+    a_b = lanemv(td.Jv, v)
+    dLdt = lanemv(td.Iw, w_b) + lanemv(cf.Iw, wdot)
+    g = GRAVITY * (mw * cf.Jv[:, 2, :, :]).sum(0)
+    h = (cf.Jw * dLdt[:, :, None, :]).sum((0, 1)) \
+        + (mw[..., None] * cf.Jv * a_b[:, :, None, :]).sum((0, 1)) + g
+    gamma_raw = lanemv(Jdot, v) + 2.0 * bg_alpha * lanemv(J, v)
+    return _mass_from_bundle(m, cf), h, J, Jdot, gamma_raw
+
+
+def _cf_tangents(m, cf, td, v, qdd, z_l, cmask3, bg_alpha):
+    """Closed-form q- and v-tangent stacks of the contact-KKT residual,
+    replacing the two 18-direction jac_lane calls (PERF.md roadmap #2).
+
+    Returns (dG_dq [nd, nd+12, K], dG_dv [nd, nd+12, K]).  ALL
+    time-derivative quantities, including the MIXED second derivatives
+    d/dt(dJ/dq_j) the bias-force tangents need, come from the one jvp
+    of cf_bundle along v (td): mixed partials commute, so the v-jvp of
+    the closed-form first-derivative stacks IS the q-derivative of the
+    time-derivative stacks."""
+    dtype = cf.p.dtype
+    nd = m.nd
+    K = cf.p.shape[-1]
+    mass = np.asarray(m.mass[m.mb_idx])
+    mw = jnp.asarray(mass[:, None, None], dtype)        # [b, 1, 1]
+
+    J = cf.J.reshape(12, nd, K)
+    Jdot = td.J.reshape(12, nd, K)
+    dJ = cf.dJ.reshape(nd, 12, nd, K)
+    dJdot = td.dJ.reshape(nd, 12, nd, K)
+    w_b = lanemv(cf.Jw, v)
+    wdot = lanemv(td.Jw, v)
+    a_b = lanemv(td.Jv, v)
+    dLdt = lanemv(td.Iw, w_b) + lanemv(cf.Iw, wdot)
+
+    # ---- q-tangents: top = d[M qdd] + dh + dJm^T z ----------------
+    dMv = _cf_dMv(m, cf, qdd)
+
+    dw = _dmv(cf.dJw, v)                                # [j, b, 3, K]
+    dwdot = _dmv(td.dJw, v)
+    dA = _dmv(td.dJv, v)
+    # sum over bodies of m_b * z-row of dJv
+    dg = GRAVITY * (jnp.asarray(mass[None, :, None, None], dtype)
+                    * cf.dJv[:, :, 2, :, :]).sum(1)     # [j, nd, K]
+    dh = (_dmtv_b(cf.dJw, dLdt)
+          + _wtv(cf.Jw, lanemv(td.dIw, w_b[None])
+                 + lanemv(td.Iw[None], dw)
+                 + lanemv(cf.dIw, wdot[None])
+                 + lanemv(cf.Iw[None], dwdot))
+          + _dmtv_b(cf.dJv, mw * a_b)
+          + _wtv(cf.Jv, mw[None] * dA)
+          + dg)
+
+    dJm = dJ * cmask3[None, :, None, :]                 # [j, 12, nd, K]
+    dJmT_z = (dJm * z_l[None, :, None, :]).sum(1)       # [j, nd, K]
+    top_q = dMv + dh + dJmT_z
+    dgamma = ((dJdot * v[None, None, :, :]).sum(2)
+              + 2.0 * bg_alpha * (dJ * v[None, None, :, :]).sum(2)) \
+        * cmask3[None]
+    bot_q = (dJm * qdd[None, None, :, :]).sum(2) + dgamma
+    dG_dq = jnp.concatenate([top_q, bot_q], axis=1)     # [j, nd+12, K]
+
+    # ---- v-tangents ----------------------------------------------
+    # dh/dv_j = sum_b m_b Jv^T (dJv[j] v + Jvdot[:, :, j])
+    #         + Jw^T ( dIw[j] w_b + Iwdot Jw[:, :, j]
+    #                  + Iw (dJw[j] v + Jwdot[:, :, j]) )
+    Jw_col = jnp.transpose(cf.Jw, (2, 0, 1, 3))         # [j, b, 3, K]
+    Jwdot_col = jnp.transpose(td.Jw, (2, 0, 1, 3))
+    Jvdot_col = jnp.transpose(td.Jv, (2, 0, 1, 3))
+    inner = (lanemv(cf.dIw, w_b[None])
+             + lanemv(td.Iw[None], Jw_col)
+             + lanemv(cf.Iw[None], dw + Jwdot_col))
+    dh_dv = (_wtv(cf.Jw, inner)
+             + _wtv(cf.Jv, mw[None] * (_dmv(cf.dJv, v) + Jvdot_col)))
+    dgamma_dv = ((dJ * v[None, None, :, :]).sum(2)
+                 + jnp.transpose(Jdot, (1, 0, 2))
+                 + 2.0 * bg_alpha * jnp.transpose(J, (1, 0, 2))) \
+        * cmask3[None]
+    dG_dv = jnp.concatenate([dh_dv, dgamma_dv], axis=1)
+    return dG_dq, dG_dv
+
 
 def _kkt_schur_solve_lane(M, Jm, Sdiag, r1, r2):
     """Lane-form Schur-complement KKT solve (rbda._kkt_schur_solve):
@@ -408,23 +683,41 @@ def contact_kkt_dynamics_partials_lane(m: WBLaneModel, q, v, tau, contact,
     multi-RHS application of the factored KKT matrix.
 
     Returns (dqdd_dq, dqdd_dv, dqdd_dtau, dlam_dq, dlam_dv, dlam_dtau)
-    with shapes [nd|12, nd, K]."""
+    with shapes [nd|12, nd, K].
+
+    Default path (CAFEMPC_WB_CF=1): the residual tangents come from the
+    closed-form FK derivative bundle (cf_bundle + _cf_tangents —
+    ancestor cross-product rules, PERF.md roadmap #2) instead of the
+    18-direction batched jvp; CAFEMPC_WB_CF=0 restores the jvp path
+    (equality pinned in tests/test_wb_lane.py)."""
     dtype = q.dtype
     nd = m.nd
     K = q.shape[-1]
     cmask3 = jnp.repeat(contact, 3, axis=0)
-    M = mass_matrix_lane(m, q)
-    h = bias_force_lane(m, q, v)
-    J = foot_jacobians_lane(m, q).reshape(12, nd, K)
+    use_cf = os.environ.get("CAFEMPC_WB_CF", "1") == "1"
+    if use_cf:
+        cf, td = jax.jvp(lambda q_: cf_bundle(m, q_), (q,), (v,))
+        M, h, J, Jdot, gamma_raw = _cf_primal(m, cf, td, v, bg_alpha)
+        gamma_m = gamma_raw * cmask3
+    else:
+        M = mass_matrix_lane(m, q)
+        h = bias_force_lane(m, q, v)
+        J = foot_jacobians_lane(m, q).reshape(12, nd, K)
+        gamma_m = (foot_drift_lane(m, q, v).reshape(12, K)
+                   + 2.0 * bg_alpha * lanemv(J, v)) * cmask3
     Jm = J * cmask3[:, None, :]
-    gamma_m = (foot_drift_lane(m, q, v).reshape(12, K)
-               + 2.0 * bg_alpha * lanemv(J, v)) * cmask3
     Sdiag = (1.0 - cmask3) + damping * cmask3
     sol, b = _kkt_schur_solve_lane(M, Jm, Sdiag,
                                    (tau - h)[:, None, :],
                                    -gamma_m[:, None, :])
     qdd = sol[:, 0, :]
     z_l = b[:, 0, :]
+
+    if use_cf:
+        dG_dq, dG_dv = _cf_tangents(m, cf, td, v, qdd, z_l, cmask3,
+                                    bg_alpha)
+        return _kkt_partials_tail(m, M, Jm, Sdiag, cmask3, dG_dq, dG_dv,
+                                  dtype)
 
     def resid_q(q_):
         h_ = bias_force_lane(m, q_, v)
@@ -447,9 +740,16 @@ def contact_kkt_dynamics_partials_lane(m: WBLaneModel, q, v, tau, contact,
         return jnp.concatenate([h_, g_], axis=0)
 
     dG_dv = jac_lane(resid_v, v)                           # [nd, nd+12, K]
+    return _kkt_partials_tail(m, M, Jm, Sdiag, cmask3, dG_dq, dG_dv,
+                              dtype)
 
-    # one multi-RHS application of the factored KKT matrix: columns
-    # [q-dirs | v-dirs | tau-dirs]
+
+def _kkt_partials_tail(m, M, Jm, Sdiag, cmask3, dG_dq, dG_dv, dtype):
+    """One multi-RHS application of the factored KKT matrix: columns
+    [q-dirs | v-dirs | tau-dirs] (shared by the closed-form and jvp
+    tangent paths)."""
+    nd = m.nd
+    K = Jm.shape[-1]
     dGq = jnp.transpose(dG_dq, (1, 0, 2))                  # [nd+12, nd, K]
     dGv = jnp.transpose(dG_dv, (1, 0, 2))
     I_nd = jnp.broadcast_to(jnp.eye(nd, dtype=dtype)[:, :, None],
@@ -488,30 +788,50 @@ def impulse_dynamics_partials_lane(m: WBLaneModel, q, v, impact_mask,
     (rbda.impulse_dynamics_partials / WBM.cpp:508-543): q-tangents
     through the residual with per-body M-contractions, v-columns one
     multi-RHS application of the factored KKT (rhs = M).
-    Returns (dvpost_dq [nd,nd,K], dvpost_dv [nd,nd,K])."""
+    Returns (dvpost_dq [nd,nd,K], dvpost_dv [nd,nd,K]).
+
+    Default path (CAFEMPC_WB_CF=1): closed-form q-tangents from the FK
+    derivative bundle; CAFEMPC_WB_CF=0 restores the batched-jvp path
+    (equality pinned in tests/test_wb_lane.py)."""
     dtype = q.dtype
     nd = m.nd
     K = q.shape[-1]
     cmask3 = jnp.repeat(impact_mask, 3, axis=0)
-    M = mass_matrix_lane(m, q)
-    J = foot_jacobians_lane(m, q).reshape(12, nd, K)
+    use_cf = os.environ.get("CAFEMPC_WB_CF", "1") == "1"
+    if use_cf:
+        cf = cf_bundle(m, q)
+        M = _mass_from_bundle(m, cf)
+        J = cf.J.reshape(12, nd, K)
+    else:
+        M = mass_matrix_lane(m, q)
+        J = foot_jacobians_lane(m, q).reshape(12, nd, K)
     Jm = J * cmask3[:, None, :]
     Sdiag = (1.0 - cmask3) + damping * cmask3
     vp, b = _kkt_schur_solve_lane(M, Jm, Sdiag,
-                                  Mv_lane(m, q, v)[:, None, :],
+                                  Mv_lane(m, q, v)[:, None, :]
+                                  if not use_cf else
+                                  _mv_from_bundle(m, cf, v)[:, None, :],
                                   jnp.zeros((12, 1, K), dtype))
     v_post = vp[:, 0, :]
     z_l = b[:, 0, :]
     dv = v_post - v
 
-    def resid_q(q_):
-        J_ = foot_jacobians_lane(m, q_).reshape(12, nd, K)
-        Jm_ = J_ * cmask3[:, None, :]
-        top = Mv_lane(m, q_, dv) + lanemv(laneT(Jm_), z_l)
-        bot = lanemv(Jm_, v_post)
-        return jnp.concatenate([top, bot], axis=0)
+    if use_cf:
+        dJ = cf.dJ.reshape(nd, 12, nd, K)
+        dJm = dJ * cmask3[None, :, None, :]
+        top = _cf_dMv(m, cf, dv) + (dJm * z_l[None, :, None, :]).sum(1)
+        bot = (dJm * v_post[None, None, :, :]).sum(2)
+        dG_dq = jnp.transpose(
+            jnp.concatenate([top, bot], axis=1), (1, 0, 2))
+    else:
+        def resid_q(q_):
+            J_ = foot_jacobians_lane(m, q_).reshape(12, nd, K)
+            Jm_ = J_ * cmask3[:, None, :]
+            top = Mv_lane(m, q_, dv) + lanemv(laneT(Jm_), z_l)
+            bot = lanemv(Jm_, v_post)
+            return jnp.concatenate([top, bot], axis=0)
 
-    dG_dq = jnp.transpose(jac_lane(resid_q, q), (1, 0, 2))  # [30, nd, K]
+        dG_dq = jnp.transpose(jac_lane(resid_q, q), (1, 0, 2))
     R1 = jnp.concatenate([-dG_dq[:nd], M], axis=1)
     R2 = jnp.concatenate([-dG_dq[nd:], jnp.zeros((12, nd, K), dtype)],
                          axis=1)

@@ -128,3 +128,60 @@ def test_impulse_parity(models):
             jnp.asarray(contact[k]))
         np.testing.assert_allclose(dq_l[:, :, k], dq, rtol=0, atol=1e-8)
         np.testing.assert_allclose(dv_l[:, :, k], dv_, rtol=0, atol=1e-8)
+
+
+def test_cf_bundle_derivatives_vs_ad(models):
+    """The closed-form FK derivative stacks (ancestor cross-product
+    rules, wb_lane.cf_bundle — PERF.md roadmap #2) match batched-jvp AD
+    to machine precision."""
+    _, lm = models
+    q, _, _, _ = _rand_states(3, seed=5)
+    qT = jnp.asarray(q.T)
+    cf = wl.cf_bundle(lm, qT)
+
+    def bj(q_):
+        R, p, aw = wl.fk_lane(lm, q_)
+        return wl._body_jacobians_lane(lm, R, p, aw)
+
+    checks = [
+        (cf.daw, lambda q_: wl.fk_lane(lm, q_)[2]),
+        (cf.dp, lambda q_: wl.fk_lane(lm, q_)[1]),
+        (cf.dpts, lambda q_: wl.foot_positions_lane(lm, q_)),
+        (cf.dcom, lambda q_: bj(q_)[0]),
+        (cf.dJw, lambda q_: bj(q_)[1]),
+        (cf.dJv, lambda q_: bj(q_)[2]),
+        (cf.dIw, lambda q_: bj(q_)[3]),
+        (cf.dJ, lambda q_: wl.foot_jacobians_lane(lm, q_)),
+    ]
+    for got, fn in checks:
+        ad = wl.jac_lane(fn, qT)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ad),
+                                   rtol=0, atol=1e-12)
+
+
+def test_cf_partials_match_jvp_path(models, monkeypatch):
+    """KKT/impulse partials via the closed-form tangent assembly
+    (CAFEMPC_WB_CF=1, the default) equal the batched-jvp residual
+    tangents (CAFEMPC_WB_CF=0) on random states/contacts."""
+    _, lm = models
+    q, v, u, contact = _rand_states(4, seed=7)
+    qT = jnp.asarray(q.T)
+    vT = jnp.asarray(v.T)
+    tauT = jnp.concatenate([jnp.zeros((6, q.shape[0])),
+                            jnp.asarray(u.T)])
+    cT = jnp.asarray(contact.T)
+
+    monkeypatch.setenv("CAFEMPC_WB_CF", "0")
+    ref = wl.contact_kkt_dynamics_partials_lane(lm, qT, vT, tauT, cT,
+                                                10.0)
+    ref_i = wl.impulse_dynamics_partials_lane(lm, qT, vT, cT)
+    monkeypatch.setenv("CAFEMPC_WB_CF", "1")
+    new = wl.contact_kkt_dynamics_partials_lane(lm, qT, vT, tauT, cT,
+                                                10.0)
+    new_i = wl.impulse_dynamics_partials_lane(lm, qT, vT, cT)
+    for a, b in zip(ref, new):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-9)
+    for a, b in zip(ref_i, new_i):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-9)
