@@ -148,17 +148,28 @@ def main():
     solve2 = make_batched_solver(hp.make_hkd_fns(), opts, mesh=mesh2,
                                  **kwargs)
     t = measure(solve2, plan, batch, mesh2, args.iters)
-    points.append(dict(devices=8, mesh="scenario=2 x knot=4",
-                       wall_s=round(t, 3),
-                       solves_per_s=round(B / t, 1),
-                       overhead_vs_vmap=round(t / t1, 3)))
+    points.append(dict(
+        devices=8, mesh="scenario=2 x knot=4",
+        wall_s=round(t, 3),
+        solves_per_s=round(B / t, 1),
+        overhead_vs_vmap=round(t / t1, 3),
+        note="knot-sharding currently distributes ONLY the backward "
+             "sweep; every knot rank redundantly computes the other "
+             "stages, so on an oversubscribed host this point measures "
+             "correctness-under-composition + that redundancy (8 ranks "
+             "x full non-sweep work on 2 cores), not multi-chip "
+             "behavior.  Its production role is the un-batched replan "
+             "(B=1) and long-horizon sweeps where the sequential sweep "
+             "dominates."))
     print(points[-1], flush=True)
 
     out = dict(
         config="hkd_112knots", total_batch=B, iters=args.iters,
         host="2-core CPU, 8 virtual devices (no real multi-chip in this "
              "image; ratios measure shard_map partitioning overhead at "
-             "fixed total compute)",
+             "fixed total compute).  Scenario-DP overheads BELOW 1.0 "
+             "are real: XLA CPU runs virtual devices on a shared thread "
+             "pool, so sharding exposes parallelism vmap serializes.",
         points=points)
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=1)
