@@ -685,16 +685,19 @@ def contact_kkt_dynamics_partials_lane(m: WBLaneModel, q, v, tau, contact,
     Returns (dqdd_dq, dqdd_dv, dqdd_dtau, dlam_dq, dlam_dv, dlam_dtau)
     with shapes [nd|12, nd, K].
 
-    Default path (CAFEMPC_WB_CF=1): the residual tangents come from the
-    closed-form FK derivative bundle (cf_bundle + _cf_tangents —
-    ancestor cross-product rules, PERF.md roadmap #2) instead of the
-    18-direction batched jvp; CAFEMPC_WB_CF=0 restores the jvp path
-    (equality pinned in tests/test_wb_lane.py)."""
+    CAFEMPC_WB_CF=1 switches the residual tangents to the closed-form
+    FK derivative bundle (cf_bundle + _cf_tangents — ancestor
+    cross-product rules); the batched-jvp path is the DEFAULT: on the
+    v5e both cascade bench configs measured ~8-9%% FASTER with it
+    (cascade500 96.5 vs 89.0, mhpc 858.9 vs 783.8 solves/s) — the
+    materialized [18, nb, 3, 18, K] derivative stacks cost more HBM
+    traffic than the AD tangent chains.  Equality of both paths is
+    pinned in tests/test_wb_lane.py."""
     dtype = q.dtype
     nd = m.nd
     K = q.shape[-1]
     cmask3 = jnp.repeat(contact, 3, axis=0)
-    use_cf = os.environ.get("CAFEMPC_WB_CF", "1") == "1"
+    use_cf = os.environ.get("CAFEMPC_WB_CF", "0") == "1"
     if use_cf:
         cf, td = jax.jvp(lambda q_: cf_bundle(m, q_), (q,), (v,))
         M, h, J, Jdot, gamma_raw = _cf_primal(m, cf, td, v, bg_alpha)
@@ -790,14 +793,15 @@ def impulse_dynamics_partials_lane(m: WBLaneModel, q, v, impact_mask,
     multi-RHS application of the factored KKT (rhs = M).
     Returns (dvpost_dq [nd,nd,K], dvpost_dv [nd,nd,K]).
 
-    Default path (CAFEMPC_WB_CF=1): closed-form q-tangents from the FK
-    derivative bundle; CAFEMPC_WB_CF=0 restores the batched-jvp path
-    (equality pinned in tests/test_wb_lane.py)."""
+    CAFEMPC_WB_CF=1 switches to closed-form q-tangents from the FK
+    derivative bundle; the batched-jvp path is the default (see
+    contact_kkt_dynamics_partials_lane — measured faster on v5e).
+    Equality pinned in tests/test_wb_lane.py."""
     dtype = q.dtype
     nd = m.nd
     K = q.shape[-1]
     cmask3 = jnp.repeat(impact_mask, 3, axis=0)
-    use_cf = os.environ.get("CAFEMPC_WB_CF", "1") == "1"
+    use_cf = os.environ.get("CAFEMPC_WB_CF", "0") == "1"
     if use_cf:
         cf = cf_bundle(m, q)
         M = _mass_from_bundle(m, cf)

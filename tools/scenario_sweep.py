@@ -401,7 +401,7 @@ def main():
     # each scenario = a warm-started MPC chain of this many re-solves
     # (plant = own WB dynamics between solves); 1 = one-shot cold starts
     ap.add_argument("--chain", type=int, default=4)
-    ap.add_argument("--out", default=os.path.join(REPO, "SWEEP_r04.json"))
+    ap.add_argument("--out", default=os.path.join(REPO, "SWEEP_r05.json"))
     args = ap.parse_args()
     dtype = jnp.float32
 
