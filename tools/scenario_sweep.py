@@ -247,19 +247,29 @@ def run_case_chain(solve_b, mesh, chain_steps, n_total, chunk, rng,
     n_scen = -(-n_scen // chunk) * chunk
     x0_c = chain_steps[0][2]
 
-    # per-step device constants, built once per case (not per chunk)
+    # per-step device constants, built ONCE per case — including the
+    # chunk-invariant batch broadcasts: every host-side jnp op is a
+    # dispatch through the tunnel (~0.1-0.5 s each), so per-chunk
+    # rebuilding of pen_b/Xb_b/Ub_b dominated the chain wall time
+    B = chunk
     n_knots = chain_steps[0][3].shape[0]
     n_steps_u = chain_steps[0][4].shape[0]
     step_const = []
     for i, (plan, pen, x0_i, Xbar0, Ubar0, wmap) in enumerate(chain_steps):
         plan_in = replicate(plan, mesh) if mesh is not None else plan
-        Xb0 = jnp.asarray(Xbar0, dtype)
-        Ub0 = jnp.asarray(Ubar0, dtype)
+        pen_b = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (B,) + a.shape), pen)
+        Xb_b0 = jnp.broadcast_to(jnp.asarray(Xbar0, dtype),
+                                 (B,) + Xbar0.shape)
+        Ub_b0 = jnp.broadcast_to(jnp.asarray(Ubar0, dtype),
+                                 (B,) + Ubar0.shape)
+        if mesh is not None:
+            pen_b = shard_batch(pen_b, mesh)
         perms = _warm_perm(wmap, n_knots, n_steps_u) if wmap is not None \
             else None
-        step_const.append((plan_in, pen, Xb0, Ub0, perms))
+        step_const.append((plan_in, pen_b, Xb_b0, Ub_b0, perms))
 
-    def dispatch_chunk(B):
+    def dispatch_chunk():
         """Enqueue one chunk's whole chain; returns telemetry handles
         (device arrays — NOT materialized here)."""
         x0_b = np.tile(x0_c, (B, 1))
@@ -268,19 +278,16 @@ def run_case_chain(solve_b, mesh, chain_steps, n_total, chunk, rng,
         x_b = jnp.asarray(x0_b, dtype)
         prev = None
         handles = []
-        for i, (plan_in, pen, Xb0, Ub0, perms) in enumerate(step_const):
-            pen_b = jax.tree.map(
-                lambda a: jnp.broadcast_to(a, (B,) + a.shape), pen)
-            Xb_b = jnp.broadcast_to(Xb0, (B,) + Xb0.shape)
-            Ub_b = jnp.broadcast_to(Ub0, (B,) + Ub0.shape)
+        for i, (plan_in, pen_b, Xb_b, Ub_b, perms) in \
+                enumerate(step_const):
             if prev is not None and perms is not None:
                 Xb_b, Ub_b = _apply_warm(Xb_b, Ub_b, prev.Xbar,
                                          prev.Ubar, *perms)
                 x_b = propagators[i - 1](x_b, prev.Ubar)
-            batch = (pen_b, x_b.astype(dtype), Xb_b, Ub_b)
+            batch = (x_b, Xb_b, Ub_b)
             if mesh is not None:
                 batch = shard_batch(batch, mesh)
-            s = solve_b(plan_in, *batch)
+            s = solve_b(plan_in, pen_b, *batch)
             prev = s
             handles.append((s.success, s.cost, s.feas,
                             {k: getattr(s.info, k)
@@ -297,12 +304,11 @@ def run_case_chain(solve_b, mesh, chain_steps, n_total, chunk, rng,
                 costs.append(np.asarray(cost, dtype=float))
                 feas_final.append(np.asarray(feas, dtype=float))
 
-    B = chunk
     if B not in seen_bs:
         # warmup chunk: pays compile, fully collected, excluded from the
         # timed window
         seen_bs.add(B)
-        collect(dispatch_chunk(B))
+        collect(dispatch_chunk())
         done += B
     # timed window: dispatch every remaining chunk back-to-back, then
     # materialize — the interval ends at host materialization of every
@@ -310,7 +316,7 @@ def run_case_chain(solve_b, mesh, chain_steps, n_total, chunk, rng,
     t0 = time.perf_counter()
     pending = []
     while done < n_scen:
-        pending.append(dispatch_chunk(B))
+        pending.append(dispatch_chunk())
         done += B
     for h in pending:
         collect(h)
@@ -394,9 +400,9 @@ def run_case(solve_b, mesh, plan, pen, x0, Xb, Ub, n_total, chunk, rng,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--total", type=int, default=4096)
-    # B=256 cascaded-WB solves exceed HBM at compile (docs/PERF.md);
-    # 64 fits with headroom on the 16G v5e
-    ap.add_argument("--chunk", type=int, default=64)
+    # 256 = the bench mhpc batch (same compiled program, cache-hot);
+    # the round-3 "B=256 exceeds HBM" limit was the pre-lane AD path
+    ap.add_argument("--chunk", type=int, default=256)
     ap.add_argument("--config", choices=["mhpc", "hkd"], default="mhpc")
     # each scenario = a warm-started MPC chain of this many re-solves
     # (plant = own WB dynamics between solves); 1 = one-shot cold starts
