@@ -304,12 +304,29 @@ def run_case_chain(solve_b, mesh, chain_steps, n_total, chunk, rng,
                 costs.append(np.asarray(cost, dtype=float))
                 feas_final.append(np.asarray(feas, dtype=float))
 
+    # prewarm: the per-case propagators (contact sequences baked in) and
+    # the warm-start gather each compile on FIRST call — run one throw-
+    # away call of each before the timed window so case 2+ does not pay
+    # remote compiles inside its timing
+    x_w = jnp.asarray(np.tile(x0_c, (B, 1)), dtype)
+    U_w = jnp.broadcast_to(step_const[0][3], step_const[0][3].shape)
+    for prop in propagators:
+        jax.block_until_ready(prop(x_w, U_w))
+    if len(step_const) > 1 and step_const[1][4] is not None:
+        jax.block_until_ready(_apply_warm(
+            step_const[1][2], step_const[1][3], step_const[0][2],
+            step_const[0][3], *step_const[1][4]))
+
     if B not in seen_bs:
-        # warmup chunk: pays compile, fully collected, excluded from the
-        # timed window
+        # warmup chunk: pays the solver compile, fully collected,
+        # excluded from the timed window
         seen_bs.add(B)
         collect(dispatch_chunk())
         done += B
+    # guarantee at least one timed chunk (a case whose quota fits in the
+    # warmup chunk would otherwise report no throughput; extra scenarios
+    # are solved and reported)
+    n_scen = max(n_scen, done + B)
     # timed window: dispatch every remaining chunk back-to-back, then
     # materialize — the interval ends at host materialization of every
     # telemetry scalar, so it provably contains all device execution
